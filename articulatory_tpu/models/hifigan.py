@@ -1,0 +1,366 @@
+"""HiFi-GAN generator + discriminators, TPU-native (flax.linen, NLC layout).
+
+Parity target: reference articulatory/models/hifigan.py. Notable semantics
+preserved exactly:
+
+- MRF resblock outputs are *averaged* (``cs / num_blocks``, reference
+  hifigan.py:230), unlike official HiFi-GAN's sum.
+- The AR conditioning vector from ``PastFCEncoder`` is tiled over time and
+  concatenated to the input features (hifigan.py:208-211); the configured
+  ``in_channels`` already includes ``ar_output``.
+- Output conv uses LeakyReLU with the default 0.01 slope (hifigan.py:147).
+- The scale discriminator's weight/spectral norm is a no-op in the reference
+  (applied to Conv2d while the stack is Conv1d, hifigan.py:645-663); we
+  reproduce the effective behavior: **no norm** on scale-discriminator convs.
+- Period discriminator's final conv has kernel ``(kernel_sizes[1]-1, 1)``
+  (even kernel, hifigan.py:382) and flattens to (B, T').
+- Extra config keys the reference CAR yaml passes but the constructor does
+  not accept (``final_scale``, ``extra_art``) are accepted and ignored.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from articulatory_tpu.layers.activations import get_activation
+from articulatory_tpu.layers.conv import Conv1d, Conv2d, ConvTranspose1d, Dense, Embed
+from articulatory_tpu.layers.past_encoder import PastFCEncoder
+from articulatory_tpu.layers.residual import HiFiGANResidualBlock
+
+Array = jax.Array
+
+
+class HiFiGANGenerator(nn.Module):
+    """HiFi-GAN generator: input conv → N×(upsample + MRF) → output conv.
+
+    Input ``c``: (B, T, in_channels - ar_output if use_ar else in_channels).
+    Output: (B, T * prod(upsample_scales), out_channels).
+    """
+
+    in_channels: int = 80
+    out_channels: int = 1
+    channels: int = 512
+    kernel_size: int = 7
+    upsample_scales: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    paddings: Sequence[Any] | None = None
+    output_paddings: Sequence[Any] | None = None
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    use_additional_convs: bool = True
+    bias: bool = True
+    nonlinear_activation: str = "LeakyReLU"
+    nonlinear_activation_params: dict = None
+    use_weight_norm: bool = True
+    use_ar: bool = False
+    ar_input: int = 512
+    ar_hidden: int = 256
+    ar_output: int = 128
+    use_tanh: bool = True
+    use_spk_id: bool = False
+    num_spk: int | None = None
+    spk_emb_size: int = 32
+    use_ph: bool = False
+    num_ph: int | None = None
+    ph_emb_size: int = 8
+    use_ph_loss: bool = False
+    # accepted-and-ignored reference config quirks (e2w_hifigan_car.yaml:42,54)
+    final_scale: Any = None
+    extra_art: Any = None
+
+    def _paddings(self) -> tuple[list[int], list[int]]:
+        scales = list(self.upsample_scales)
+        pads = [s // 2 + s % 2 for s in scales]
+        out_pads = [s % 2 for s in scales]
+        if self.paddings is not None:
+            assert all(p == "default" for p in self.paddings), \
+                "only 'default' paddings are implemented (as in the reference)"
+        if self.output_paddings is not None:
+            assert all(p == "default" for p in self.output_paddings), \
+                "only 'default' output_paddings are implemented"
+        return pads, out_pads
+
+    @nn.compact
+    def __call__(self, c: Array, spk_id: Array | None = None,
+                 ar: Array | None = None, ph: Array | None = None):
+        assert self.kernel_size % 2 == 1, "Kernel size must be odd number."
+        assert len(self.upsample_scales) == len(self.upsample_kernel_sizes)
+        assert len(self.resblock_dilations) == len(self.resblock_kernel_sizes)
+        act = get_activation(self.nonlinear_activation,
+                             self.nonlinear_activation_params or {"negative_slope": 0.1})
+        pads, out_pads = self._paddings()
+        num_blocks = len(self.resblock_kernel_sizes)
+
+        if self.use_ar:
+            ar_feats = PastFCEncoder(input_len=self.ar_input,
+                                     hidden_dim=self.ar_hidden,
+                                     output_dim=self.ar_output,
+                                     name="ar_model")(ar)  # (B, ar_output)
+            ar_feats = jnp.broadcast_to(ar_feats[:, None, :],
+                                        (c.shape[0], c.shape[1], self.ar_output))
+            c = jnp.concatenate([c, ar_feats], axis=-1)
+        if self.use_spk_id:
+            assert self.num_spk is not None
+            spk_emb = Embed(self.num_spk, self.spk_emb_size, name="spk_emb_mat")(spk_id)
+            spk_emb = Dense(self.in_channels, name="spk_fc")(spk_emb)
+            c = c + spk_emb[:, None, :]
+        if self.use_ph:
+            assert self.num_ph is not None
+            ph_feats = Embed(self.num_ph, self.ph_emb_size, name="ph_emb_mat")(ph)
+            c = jnp.concatenate([c, ph_feats], axis=-1)
+
+        c = Conv1d(self.channels, self.kernel_size,
+                   padding=(self.kernel_size - 1) // 2, use_bias=True,
+                   use_weight_norm=self.use_weight_norm, name="input_conv")(c)
+        for i in range(len(self.upsample_scales)):
+            ch = self.channels // (2 ** (i + 1))
+            c = act(c)
+            c = ConvTranspose1d(ch, self.upsample_kernel_sizes[i],
+                                stride=self.upsample_scales[i], padding=pads[i],
+                                output_padding=out_pads[i],
+                                use_weight_norm=self.use_weight_norm,
+                                name=f"upsample_{i}")(c)
+            cs = 0.0
+            for j in range(num_blocks):
+                cs += HiFiGANResidualBlock(
+                    kernel_size=self.resblock_kernel_sizes[j], channels=ch,
+                    dilations=self.resblock_dilations[j], use_bias=self.bias,
+                    use_additional_convs=self.use_additional_convs,
+                    nonlinear_activation=self.nonlinear_activation,
+                    nonlinear_activation_params=(self.nonlinear_activation_params
+                                                 or {"negative_slope": 0.1}),
+                    use_weight_norm=self.use_weight_norm,
+                    name=f"block_{i}_{j}")(c)
+            c = cs / num_blocks
+
+        pre_out = c
+        # reference output conv uses torch's default LeakyReLU slope (0.01)
+        out = jnp.where(pre_out >= 0, pre_out, 0.01 * pre_out)
+        out = Conv1d(self.out_channels, self.kernel_size,
+                     padding=(self.kernel_size - 1) // 2,
+                     use_weight_norm=self.use_weight_norm, name="output_conv")(out)
+        if self.use_tanh:
+            out = jnp.tanh(out)
+
+        if self.use_ph_loss:
+            final_scale = int(np.prod(self.upsample_scales))
+            assert final_scale % 2 == 0
+            ph_out = Dense(self.num_ph, name="ph_fc")(pre_out)  # (B, T, num_ph)
+            ph_out = _avg_pool1d(ph_out, kernel_size=final_scale * 2,
+                                 stride=final_scale, padding=final_scale // 2)
+            return out, ph_out
+        return out
+
+    def inference(self, variables, c: Array, ar: Array | None = None,
+                  spk_id: Array | None = None, ph: Array | None = None) -> Array:
+        """(T, in_feats) -> (T * prod(scales), out_channels)."""
+        out = self.apply(variables, c[None], spk_id=spk_id, ar=ar, ph=ph)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out[0]
+
+
+def _avg_pool1d(x: Array, kernel_size: int, stride: int, padding: int) -> Array:
+    """torch.nn.AvgPool1d semantics (count_include_pad=True) over NLC time axis."""
+    y = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, kernel_size, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+    return y / kernel_size
+
+
+class HiFiGANPeriodDiscriminator(nn.Module):
+    """Reshape (B, T, C) to (B, T/P, P, C)-as-image and run a Conv2d stack.
+
+    Returns the list of all layer feature maps (last entry flattened logits).
+    """
+
+    in_channels: int = 1
+    out_channels: int = 1
+    period: int = 3
+    kernel_sizes: Sequence[int] = (5, 3)
+    channels: int = 32
+    downsample_scales: Sequence[int] = (3, 3, 3, 3, 1)
+    max_downsample_channels: int = 1024
+    bias: bool = True
+    nonlinear_activation: str = "LeakyReLU"
+    nonlinear_activation_params: dict = None
+    use_weight_norm: bool = True
+    use_spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> list[Array]:
+        assert len(self.kernel_sizes) == 2
+        assert self.kernel_sizes[0] % 2 == 1 and self.kernel_sizes[1] % 2 == 1
+        if self.use_weight_norm and self.use_spectral_norm:
+            raise ValueError("Either use use_weight_norm or use_spectral_norm.")
+        act = get_activation(self.nonlinear_activation,
+                             self.nonlinear_activation_params or {"negative_slope": 0.1})
+        b, t, c = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, [(0, 0), (0, n_pad), (0, 0)], mode="reflect")
+            t += n_pad
+        # (B, T/P, P, C): height = T/P, width = P, channels = C
+        x = x.reshape(b, t // self.period, self.period, c)
+
+        outs = []
+        in_chs = self.in_channels
+        out_chs = self.channels
+        for i, scale in enumerate(self.downsample_scales):
+            x = Conv2d(out_chs, (self.kernel_sizes[0], 1), stride=(scale, 1),
+                       padding=((self.kernel_sizes[0] - 1) // 2, 0),
+                       use_bias=self.bias,
+                       use_weight_norm=self.use_weight_norm,
+                       name=f"conv_{i}")(x)
+            x = act(x)
+            outs.append(x)
+            in_chs = out_chs
+            out_chs = min(out_chs * 4, self.max_downsample_channels)
+        x = Conv2d(self.out_channels, (self.kernel_sizes[1] - 1, 1),
+                   padding=((self.kernel_sizes[1] - 1) // 2, 0),
+                   use_weight_norm=self.use_weight_norm,
+                   name="output_conv")(x)
+        outs.append(x.reshape(b, -1))
+        return outs
+
+
+class HiFiGANMultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    discriminator_params: dict = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> list[list[Array]]:
+        params = dict(self.discriminator_params or {})
+        outs = []
+        for i, period in enumerate(self.periods):
+            p = dict(params)
+            p["period"] = period
+            outs.append(HiFiGANPeriodDiscriminator(**p, name=f"disc_{i}")(x))
+        return outs
+
+
+class HiFiGANScaleDiscriminator(nn.Module):
+    """Grouped-conv downsampling stack over raw waveform.
+
+    NOTE: matching the reference's effective behavior, *no* weight/spectral
+    norm is applied here (the reference's norm application targets Conv2d
+    modules which do not exist in this stack — hifigan.py:645-663).
+    """
+
+    in_channels: int = 1
+    out_channels: int = 1
+    kernel_sizes: Sequence[int] = (15, 41, 5, 3)
+    channels: int = 128
+    max_downsample_channels: int = 1024
+    max_groups: int = 16
+    bias: bool = True
+    downsample_scales: Sequence[int] = (2, 2, 4, 4, 1)
+    nonlinear_activation: str = "LeakyReLU"
+    nonlinear_activation_params: dict = None
+    use_weight_norm: bool = True   # accepted for config parity; no-op (see note)
+    use_spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> list[Array]:
+        assert len(self.kernel_sizes) == 4
+        assert all(ks % 2 == 1 for ks in self.kernel_sizes)
+        act = get_activation(self.nonlinear_activation,
+                             self.nonlinear_activation_params or {"negative_slope": 0.1})
+        outs = []
+        x = Conv1d(self.channels, self.kernel_sizes[0],
+                   padding=(self.kernel_sizes[0] - 1) // 2, use_bias=self.bias,
+                   name="layer_0")(x)
+        x = act(x)
+        outs.append(x)
+
+        in_chs = self.channels
+        out_chs = self.channels
+        groups = 4
+        li = 1
+        for scale in self.downsample_scales:
+            x = Conv1d(out_chs, self.kernel_sizes[1], stride=scale,
+                       padding=(self.kernel_sizes[1] - 1) // 2, groups=groups,
+                       use_bias=self.bias, name=f"layer_{li}")(x)
+            x = act(x)
+            outs.append(x)
+            li += 1
+            in_chs = out_chs
+            out_chs = min(in_chs * 2, self.max_downsample_channels)
+            groups = min(groups * 4, self.max_groups)
+
+        out_chs = min(in_chs * 2, self.max_downsample_channels)
+        x = Conv1d(out_chs, self.kernel_sizes[2],
+                   padding=(self.kernel_sizes[2] - 1) // 2, use_bias=self.bias,
+                   name=f"layer_{li}")(x)
+        x = act(x)
+        outs.append(x)
+        x = Conv1d(self.out_channels, self.kernel_sizes[3],
+                   padding=(self.kernel_sizes[3] - 1) // 2, use_bias=self.bias,
+                   name=f"layer_{li + 1}")(x)
+        outs.append(x)
+        return outs
+
+
+def avg_pool1d(x: Array, kernel_size: int, stride: int, padding: int) -> Array:
+    return _avg_pool1d(x, kernel_size, stride, padding)
+
+
+class HiFiGANMultiScaleDiscriminator(nn.Module):
+    scales: int = 3
+    downsample_pooling: str = "AvgPool1d"
+    downsample_pooling_params: dict = None
+    discriminator_params: dict = None
+    follow_official_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> list[list[Array]]:
+        pool_params = self.downsample_pooling_params or {
+            "kernel_size": 4, "stride": 2, "padding": 2}
+        params = dict(self.discriminator_params or {})
+        outs = []
+        for i in range(self.scales):
+            p = dict(params)
+            if self.follow_official_norm:
+                # reference toggles weight/spectral norm per scale; both are
+                # effectively no-ops in the scale stack (see class note)
+                p["use_weight_norm"] = i != 0
+                p["use_spectral_norm"] = i == 0
+            outs.append(HiFiGANScaleDiscriminator(**p, name=f"disc_{i}")(x))
+            x = _avg_pool1d(x, pool_params["kernel_size"], pool_params["stride"],
+                            pool_params["padding"])
+        return outs
+
+
+class HiFiGANMultiScaleMultiPeriodDiscriminator(nn.Module):
+    """MSD outputs + MPD outputs concatenated (reference hifigan.py:741-825)."""
+
+    scales: int = 3
+    scale_downsample_pooling: str = "AvgPool1d"
+    scale_downsample_pooling_params: dict = None
+    scale_discriminator_params: dict = None
+    follow_official_norm: bool = True
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    period_discriminator_params: dict = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> list[list[Array]]:
+        msd_outs = HiFiGANMultiScaleDiscriminator(
+            scales=self.scales,
+            downsample_pooling=self.scale_downsample_pooling,
+            downsample_pooling_params=self.scale_downsample_pooling_params,
+            discriminator_params=self.scale_discriminator_params,
+            follow_official_norm=self.follow_official_norm,
+            name="msd")(x)
+        mpd_outs = HiFiGANMultiPeriodDiscriminator(
+            periods=self.periods,
+            discriminator_params=self.period_discriminator_params,
+            name="mpd")(x)
+        return msd_outs + mpd_outs
