@@ -16,9 +16,9 @@ from articulatory_tpu.layers.residual import (  # noqa: F401
 )
 from articulatory_tpu.layers.past_encoder import PastFCEncoder, PastSeqEncoder  # noqa: F401
 from articulatory_tpu.layers.upsample import (  # noqa: F401
-    Stretch2d,
     UpsampleNetwork,
     ConvInUpsampleNetwork,
+    stretch_time,
 )
 from articulatory_tpu.layers.tade import TADELayer, TADEResBlock  # noqa: F401
 from articulatory_tpu.layers.transformer import (  # noqa: F401
