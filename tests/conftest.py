@@ -42,6 +42,24 @@ def reference():
     import scipy.signal.windows
     if not hasattr(scipy.signal, "kaiser"):
         scipy.signal.kaiser = scipy.signal.windows.kaiser
+    if "librosa" not in sys.modules:
+        # minimal librosa shim (not installed here): only filters.mel, backed
+        # by our own librosa-parity implementation, so reference modules that
+        # import librosa at module scope can load.
+        import types
+
+        from articulatory_tpu.ops.mel import mel_filterbank
+
+        librosa = types.ModuleType("librosa")
+        filters = types.ModuleType("librosa.filters")
+
+        def _mel(sr=None, n_fft=None, n_mels=128, fmin=0.0, fmax=None, **kw):
+            return mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+
+        filters.mel = _mel
+        librosa.filters = filters
+        sys.modules["librosa"] = librosa
+        sys.modules["librosa.filters"] = filters
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import articulatory  # noqa: F401
