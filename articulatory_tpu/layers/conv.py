@@ -115,10 +115,17 @@ class Conv1d(nn.Module):
     use_weight_norm: bool = False
     kernel_init: str | Initializer = "torch_default"
     bias_init: str | Initializer = "torch_default"
+    pad_mode: str = "zeros"  # zeros | reflect | replicate (torch pad-layer parity)
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        padding = self.padding
+        if self.pad_mode != "zeros" and padding != 0:
+            lo, hi = (padding, padding) if isinstance(padding, int) else padding
+            mode = {"reflect": "reflect", "replicate": "edge"}[self.pad_mode]
+            x = jnp.pad(x, [(0, 0), (lo, hi), (0, 0)], mode=mode)
+            padding = 0
         c_in = x.shape[-1]
         shape = (self.kernel_size, c_in // self.groups, self.features)
         kinit = _resolve_kernel_init(self.kernel_init, (0, 1))
@@ -139,7 +146,7 @@ class Conv1d(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
-        return conv_ops.conv1d(x, w, b, stride=self.stride, padding=self.padding,
+        return conv_ops.conv1d(x, w, b, stride=self.stride, padding=padding,
                                dilation=self.dilation, groups=self.groups)
 
 
@@ -283,9 +290,9 @@ class CausalConvTranspose1d(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        t = x.shape[1]
+        # reference trims the trailing `stride` samples (causal_conv.py:66)
         y = ConvTranspose1d(self.features, self.kernel_size, stride=self.stride,
                             use_bias=self.use_bias,
                             use_weight_norm=self.use_weight_norm,
                             kernel_init=self.kernel_init, name="deconv")(x)
-        return y[:, : t * self.stride, :]
+        return y[:, : -self.stride, :]

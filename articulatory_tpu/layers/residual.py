@@ -23,6 +23,15 @@ from articulatory_tpu.layers.conv import CausalConv1d, Conv1d
 Array = jax.Array
 
 
+def pad_layer_to_mode(pad: str) -> str:
+    """Map torch pad-layer class names to Conv1d pad_mode strings."""
+    return {
+        "ReflectionPad1d": "reflect",
+        "ReplicationPad1d": "replicate",
+        "ConstantPad1d": "zeros",
+    }.get(pad, "zeros")
+
+
 class HiFiGANResidualBlock(nn.Module):
     """Multi-dilation residual block: per dilation, x += conv2(act(conv1(act(x))))."""
 
@@ -124,6 +133,8 @@ class MelGANResidualStack(nn.Module):
     use_bias: bool = True
     nonlinear_activation: str = "LeakyReLU"
     nonlinear_activation_params: dict = None
+    pad: str = "ReflectionPad1d"
+    pad_params: dict = None
     use_causal_conv: bool = False
     use_weight_norm: bool = True
 
@@ -131,11 +142,12 @@ class MelGANResidualStack(nn.Module):
     def __call__(self, x: Array) -> Array:
         act = get_activation(self.nonlinear_activation,
                              self.nonlinear_activation_params or {"negative_slope": 0.2})
+        pad_mode = pad_layer_to_mode(self.pad)
         if not self.use_causal_conv:
             assert (self.kernel_size - 1) % 2 == 0, "Not support even kernel size."
             pad = (self.kernel_size - 1) // 2 * self.dilation
             y = Conv1d(self.channels, self.kernel_size, dilation=self.dilation,
-                       padding=pad, use_bias=self.use_bias,
+                       padding=pad, use_bias=self.use_bias, pad_mode=pad_mode,
                        use_weight_norm=self.use_weight_norm, name="conv_dilated")(act(x))
         else:
             y = CausalConv1d(self.channels, self.kernel_size, dilation=self.dilation,

@@ -1,0 +1,129 @@
+"""BiGRU inversion model (reference: articulatory/models/pytorch_models.py:22-123).
+
+The GRU recurrence matches torch.nn.GRU exactly (gate order r, z, n; separate
+input/hidden biases). The input projection for all timesteps is hoisted out
+of the scan as one large matmul (MXU); only the hidden recurrence is
+sequential.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from articulatory_tpu.layers.conv import Dense
+from articulatory_tpu.layers.past_encoder import PastFCEncoder
+
+Array = jax.Array
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class GRULayer(nn.Module):
+    """Single-direction GRU with torch parameter packing (3H = [r; z; n])."""
+
+    hidden_size: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = self.hidden_size
+        c_in = x.shape[-1]
+        bound = 1.0 / np.sqrt(h)
+        w_ih = self.param("w_ih", _uniform_init(bound), (3 * h, c_in))
+        w_hh = self.param("w_hh", _uniform_init(bound), (3 * h, h))
+        b_ih = self.param("b_ih", _uniform_init(bound), (3 * h,))
+        b_hh = self.param("b_hh", _uniform_init(bound), (3 * h,))
+
+        if self.reverse:
+            x = jnp.flip(x, axis=1)
+        # hoist the input projection out of the recurrence
+        xg = x @ w_ih.T + b_ih  # (B, T, 3H)
+        xg = jnp.swapaxes(xg, 0, 1)  # (T, B, 3H) for scan
+
+        w_hh_t = w_hh.T  # (H, 3H)
+
+        def step(h_prev, xg_t):
+            hg = h_prev @ w_hh_t + b_hh  # (B, 3H)
+            xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(hg, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h_prev
+            return h_new, h_new
+
+        h0 = jnp.zeros((x.shape[0], h), x.dtype)
+        _, ys = jax.lax.scan(step, h0, xg)
+        ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys
+
+
+class BiGRULayer(nn.Module):
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        fwd = GRULayer(self.hidden_size, reverse=False, name="fwd")(x)
+        bwd = GRULayer(self.hidden_size, reverse=True, name="bwd")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class BiGRU(nn.Module):
+    """2×BiGRU + FC + BatchNorm + FC inversion model. Input/output NLC."""
+
+    in_channels: int = 80
+    hidden_size: int = 256
+    dropout: float = 0.3
+    out_channels: int = 1
+    use_ar: bool = False
+    ar_input: int = 512
+    ar_hidden: int = 256
+    ar_output: int = 128
+    ar_channels: int | None = None
+    use_tanh: bool = False
+    use_spk_emb: bool = False
+    spk_emb_size: int = 32
+    spk_emb_hidden: int = 32
+
+    @nn.compact
+    def __call__(self, mels: Array, mask=None, spk_id=None, spk=None,
+                 ar: Array | None = None, ph=None, *, train: bool = False) -> Array:
+        if self.use_ar:
+            ar_feats = PastFCEncoder(input_len=self.ar_input,
+                                     hidden_dim=self.ar_hidden,
+                                     output_dim=self.ar_output,
+                                     name="ar_model")(ar)
+            ar_feats = jnp.broadcast_to(
+                ar_feats[:, None, :],
+                (mels.shape[0], mels.shape[1], self.ar_output))
+            mels = jnp.concatenate([mels, ar_feats], axis=-1)
+        if self.use_spk_emb:
+            cspk = Dense(self.spk_emb_hidden, name="spk_fc")(spk)
+            cspk = jnp.broadcast_to(cspk[:, None, :],
+                                    (mels.shape[0], mels.shape[1], self.spk_emb_hidden))
+            mels = jnp.concatenate([mels, cspk], axis=-1)
+
+        x = BiGRULayer(self.hidden_size, name="gru1")(mels)
+        if self.dropout > 0.0 and train:
+            x = nn.Dropout(self.dropout, deterministic=False)(x)
+        x = BiGRULayer(self.hidden_size, name="gru2")(x)
+        if self.dropout > 0.0 and train:
+            x = nn.Dropout(self.dropout, deterministic=False)(x)
+        x = Dense(128, name="fc1")(x)
+        if self.dropout > 0.0 and train:
+            x = nn.Dropout(self.dropout, deterministic=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn")(x)
+        x = Dense(self.out_channels, name="fc2")(x)
+        if self.use_tanh:
+            x = jnp.tanh(x)
+        return x
