@@ -1,0 +1,110 @@
+"""Host-side data loader: shuffling, batching, collation, prefetch, sharding.
+
+Replaces torch DataLoader + DistributedSampler. Each host process iterates
+only its shard of the index space (``shard_id`` / ``num_shards``), the
+collater produces fixed-shape numpy batches, and a background thread pool
+prefetches ahead of the training loop — the TPU never waits on h5 reads.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Sequence
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 collate_fn: Callable | None = None, drop_last: bool = False,
+                 batch_sampler: Iterable[list[int]] | None = None,
+                 num_workers: int = 0, seed: int = 0,
+                 shard_id: int = 0, num_shards: int = 1,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.collate_fn = collate_fn if collate_fn is not None else _default_collate
+        self.drop_last = drop_last
+        self.batch_sampler = batch_sampler
+        self.num_workers = num_workers
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.prefetch = max(1, prefetch)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle per epoch (DistributedSampler.set_epoch parity)."""
+        self.epoch = epoch
+
+    def _batches(self) -> Iterator[list[int]]:
+        if self.batch_sampler is not None:
+            for batch in self.batch_sampler:
+                yield batch
+            return
+        n = len(self.dataset)
+        indices = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(indices)
+        # shard per host: contiguous interleave so shards stay balanced
+        indices = indices[self.shard_id::self.num_shards]
+        for i in range(0, len(indices), self.batch_size):
+            batch = indices[i:i + self.batch_size]
+            if self.drop_last and len(batch) < self.batch_size:
+                return
+            yield list(batch)
+
+    def __len__(self) -> int:
+        if self.batch_sampler is not None:
+            return sum(1 for _ in self.batch_sampler)
+        n = len(self.dataset) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _load_batch(self, idxs: list[int]):
+        return self.collate_fn([self.dataset[i] for i in idxs])
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for idxs in self._batches():
+                yield self._load_batch(idxs)
+            return
+
+        # threaded prefetch: overlap h5/npy reads + collation with training
+        batch_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            from collections import deque
+
+            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+                inflight: deque = deque()
+                for idxs in self._batches():
+                    # bound in-flight work so a slow consumer doesn't make us
+                    # load the whole epoch into memory
+                    while len(inflight) >= self.num_workers + self.prefetch:
+                        batch_queue.put(inflight.popleft().result())
+                    inflight.append(pool.submit(self._load_batch, idxs))
+                while inflight:
+                    batch_queue.put(inflight.popleft().result())
+            batch_queue.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = batch_queue.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def _default_collate(items: Sequence):
+    if isinstance(items[0], np.ndarray):
+        return np.stack(items)
+    return items

@@ -1,0 +1,55 @@
+"""Device mesh + sharding utilities — the TPU-native replacement for the
+reference's NCCL launcher/DistributedSampler stack (launch.py, train.py:
+1455-1463, 1609-1615).
+
+Data parallelism is expressed declaratively: parameters/optimizer state are
+replicated over the ``data`` axis, batches are sharded on their leading
+axis, and XLA's SPMD partitioner inserts the gradient all-reduces over
+ICI/DCN. Multi-host setup goes through ``jax.distributed.initialize``; each
+host feeds only its shard of the dataset (see data.loader.DataLoader's
+shard_id/num_shards).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host rendezvous (replaces distributed/launch.py env-var setup)."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_mesh(num_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Shard every array leaf on its leading (batch) axis over the mesh."""
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

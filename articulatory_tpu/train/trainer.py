@@ -1,0 +1,222 @@
+"""Trainer: the step/eval/checkpoint loop (reference bin/train.py:70-777).
+
+Behavioral parity:
+- gen/disc alternation with start-step gating lives in the jitted step;
+- schedulers advance once per train step, gated like the reference
+  (train.py:372-383, 429-435), with ReduceLROnPlateau fed the current loss;
+- intervals: log every ``log_interval_steps`` (averaged then reset), eval
+  every ``eval_interval_steps``, checkpoint every ``save_interval_steps``,
+  stop at ``train_max_steps``; interval work is rank-0 only;
+- best dev ``eval/mel_loss`` tracked into ``best_mel_ckpt.pkl`` +
+  ``best_mel_step.txt`` (train.py:633-638);
+- intermediate ref/gen plots + wavs for the first eval batch (:650-745).
+
+TPU specifics: metric accumulation stays on device between log intervals
+(no per-step host sync); batches are sharded over the mesh's ``data`` axis
+and the state is replicated, so the same code runs 1-chip or N-chip.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from articulatory_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from articulatory_tpu.utils.checkpoint import save_checkpoint
+from articulatory_tpu.utils.io import write_wav
+
+
+class Trainer:
+    def __init__(self, *, config: dict, state, train_step, eval_step,
+                 schedulers: dict, data_loader: dict, outdir: str,
+                 mesh=None, steps: int = 0, epochs: int = 0, seed: int = 0,
+                 writer=None):
+        self.config = config
+        self.state = state
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.schedulers = schedulers
+        self.data_loader = data_loader
+        self.outdir = outdir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.steps = steps
+        self.epochs = epochs
+        self.finish_train = False
+        self.rng = jax.random.PRNGKey(seed)
+        self.total_train_loss: dict = defaultdict(float)
+        self._train_count = 0
+        self.total_eval_loss: dict = defaultdict(float)
+        self.best_mel_loss = 1.0e6
+        self.is_host = jax.process_index() == 0
+        if writer is not None:
+            self.writer = writer
+        elif self.is_host:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(outdir)
+        else:
+            self.writer = None
+        self._last_log_time = time.time()
+        self._gen_sched_plateau = type(schedulers.get("generator")).__name__ == "ReduceLROnPlateau"
+        self._dis_sched_plateau = type(schedulers.get("discriminator")).__name__ == "ReduceLROnPlateau"
+
+    # ------------------------------------------------------------------ run
+    def run(self):
+        try:
+            while not self.finish_train:
+                self._train_epoch()
+        finally:
+            self.save_checkpoint(
+                os.path.join(self.outdir, f"checkpoint-{self.steps}steps.ckpt"))
+            logging.info(f"Successfully saved checkpoint @ {self.steps} steps.")
+
+    def _train_epoch(self):
+        for batch in self.data_loader["train"]:
+            self._train_step(batch)
+            if self.is_host:
+                self._check_log_interval()
+                self._check_eval_interval()
+                self._check_save_interval()
+            if self.finish_train:
+                return
+        self.epochs += 1
+        if hasattr(self.data_loader["train"], "set_epoch"):
+            self.data_loader["train"].set_epoch(self.epochs)
+
+    def _train_step(self, batch):
+        batch = shard_batch(batch, self.mesh)
+        self.rng, step_rng = jax.random.split(self.rng)
+        lr_g = jnp.float32(self.schedulers["generator"].lr)
+        lr_d = jnp.float32(self.schedulers["discriminator"].lr)
+        self.state, metrics = self.train_step(self.state, batch, step_rng,
+                                              lr_g, lr_d)
+        # accumulate on device; host sync happens only at log time
+        for k, v in metrics.items():
+            self.total_train_loss[k] = self.total_train_loss[k] + v
+        self._train_count += 1
+
+        # schedulers advance per-step, gated like the reference
+        gen_start = self.config.get("generator_train_start_steps", 0)
+        disc_start = self.config.get("discriminator_train_start_steps", 0)
+        if self.steps > gen_start:
+            metric = (float(metrics["train/generator_loss"])
+                      if self._gen_sched_plateau else None)
+            self.schedulers["generator"].step(metric)
+        if self.steps > disc_start:
+            metric = (float(metrics["train/discriminator_loss"])
+                      if self._dis_sched_plateau else None)
+            self.schedulers["discriminator"].step(metric)
+
+        self.steps += 1
+        self._check_train_finish()
+
+    # ------------------------------------------------------------ intervals
+    def _check_train_finish(self):
+        if self.steps >= self.config["train_max_steps"]:
+            self.finish_train = True
+
+    def _check_log_interval(self):
+        interval = self.config.get("log_interval_steps", 100)
+        if self.steps % interval == 0 and self._train_count > 0:
+            elapsed = time.time() - self._last_log_time
+            for key, total in sorted(self.total_train_loss.items()):
+                avg = float(total) / self._train_count
+                logging.info(f"(Steps: {self.steps}) {key} = {avg:.4f}.")
+                if self.writer:
+                    self.writer.add_scalar(key, avg, self.steps)
+            if self.writer:
+                steps_per_sec = self._train_count / max(elapsed, 1e-9)
+                self.writer.add_scalar("train/steps_per_sec", steps_per_sec,
+                                       self.steps)
+                self.writer.add_scalar("train/lr_generator",
+                                       self.schedulers["generator"].lr, self.steps)
+            self.total_train_loss = defaultdict(float)
+            self._train_count = 0
+            self._last_log_time = time.time()
+
+    def _check_eval_interval(self):
+        if self.steps % self.config.get("eval_interval_steps", 1000) == 0:
+            self._eval_epoch()
+
+    def _check_save_interval(self):
+        if self.steps % self.config.get("save_interval_steps", 5000) == 0:
+            path = os.path.join(self.outdir, f"checkpoint-{self.steps}steps.ckpt")
+            self.save_checkpoint(path)
+            logging.info(f"Successfully saved checkpoint @ {self.steps} steps.")
+
+    # ----------------------------------------------------------------- eval
+    def _eval_epoch(self):
+        logging.info(f"(Steps: {self.steps}) Start evaluation.")
+        totals: dict = defaultdict(float)
+        count = 0
+        first_outputs = None
+        first_batch = None
+        for batch in self.data_loader.get("dev", []):
+            sharded = shard_batch(batch, self.mesh)
+            self.rng, eval_rng = jax.random.split(self.rng)
+            metrics, y_ = self.eval_step(self.state, sharded, eval_rng)
+            for k, v in metrics.items():
+                totals[k] = totals[k] + v
+            count += 1
+            if first_outputs is None:
+                first_outputs = np.asarray(y_)
+                first_batch = batch
+        if count == 0:
+            return
+        logging.info(f"(Steps: {self.steps}) Finished evaluation "
+                     f"({count} steps per epoch).")
+        averages = {k: float(v) / count for k, v in totals.items()}
+        for key, avg in sorted(averages.items()):
+            logging.info(f"(Steps: {self.steps}) {key} = {avg:.4f}.")
+            if self.writer:
+                self.writer.add_scalar(key, avg, self.steps)
+        mel_key = "eval/mel_loss"
+        if mel_key in averages and averages[mel_key] < self.best_mel_loss:
+            self.best_mel_loss = averages[mel_key]
+            self.save_checkpoint(os.path.join(self.outdir, "best_mel_ckpt.pkl"))
+            with open(os.path.join(self.outdir, "best_mel_step.txt"), "w") as f:
+                f.write(f"{self.steps} {self.best_mel_loss}")
+            logging.info(f"(Steps: {self.steps}) New best eval/mel_loss "
+                         f"{self.best_mel_loss:.4f}.")
+        if first_outputs is not None:
+            self._save_intermediate(first_batch, first_outputs)
+
+    def _save_intermediate(self, batch, y_gen: np.ndarray):
+        """Save ref/gen comparison plots (+wavs for waveform targets)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = min(self.config.get("num_save_intermediate_results", 4), len(y_gen))
+        dirname = os.path.join(self.outdir, f"predictions/{self.steps}steps")
+        os.makedirs(dirname, exist_ok=True)
+        y_ref = np.asarray(batch["y"])
+        sr = self.config.get("sampling_rate", 16000)
+        is_wave = y_ref.ndim == 3 and y_ref.shape[-1] == 1
+        for idx in range(n):
+            r = y_ref[idx].squeeze()
+            g = y_gen[idx].squeeze()
+            fig, axes = plt.subplots(2, 1, figsize=(6, 4))
+            axes[0].plot(r)
+            axes[0].set_title("groundtruth")
+            axes[1].plot(g)
+            axes[1].set_title(f"generated @ {self.steps} steps")
+            fig.tight_layout()
+            fig.savefig(os.path.join(dirname, f"{idx}.png"))
+            plt.close(fig)
+            if is_wave:
+                write_wav(os.path.join(dirname, f"{idx}_ref.wav"), r, sr)
+                write_wav(os.path.join(dirname, f"{idx}_gen.wav"), g, sr)
+
+    # ----------------------------------------------------------- checkpoint
+    def save_checkpoint(self, path: str):
+        if self.is_host:
+            save_checkpoint(path, jax.device_get(self.state),
+                            schedulers=self.schedulers, epochs=self.epochs)
