@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Decode dumped features with a trained generator.
+
+Parity target: reference articulatory/bin/decode.py:103-362 (same CLI, same
+per-dataset_mode input selection, AR loop vs full-utterance inference,
+``<utt>_gen.wav`` / ``<utt>_gen.npy`` outputs, RTF reporting).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+import yaml
+from tqdm import tqdm
+
+import jax.numpy as jnp
+
+from articulatory_tpu.bin.preprocess import set_logging
+from articulatory_tpu.data.datasets import (
+    ArtDataset,
+    ArtSCPDataset,
+    AudioSCPDataset,
+    MelDataset,
+    MelSCPDataset,
+)
+from articulatory_tpu.data.transforms import get_transform
+from articulatory_tpu.inference import ar_loop, load_model
+from articulatory_tpu.utils.io import read_hdf5, write_wav
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Decode dumped features with trained generator.")
+    parser.add_argument("--feats-scp", "--scp", default=None, type=str)
+    parser.add_argument("--dumpdir", default=None, type=str)
+    parser.add_argument("--outdir", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--config", default=None, type=str)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+    set_logging(args.verbose)
+
+    if args.config is None:
+        dirname = os.path.dirname(args.checkpoint)
+        args.config = os.path.join(dirname, "config.yml")
+    with open(args.config) as f:
+        config = yaml.load(f, Loader=yaml.Loader)
+    config.update(vars(args))
+
+    if (args.feats_scp is not None) == (args.dumpdir is not None):
+        raise ValueError("Please specify either --dumpdir or --feats-scp.")
+
+    dataset_mode = config.get("dataset_mode", "default")
+    transform = get_transform(config.get("transform")) \
+        if config.get("transform") else None
+    input_transform = config.get("input_transform")
+    input_transform = (get_transform(input_transform)
+                       if input_transform is not None else transform)
+
+    # dataset per mode (reference decode.py:196-266)
+    if dataset_mode in ("default", "m2w"):
+        if args.dumpdir is not None:
+            if config["format"] == "hdf5":
+                dataset = MelDataset(args.dumpdir, mel_query="*.h5",
+                                     mel_load_fn=lambda x: read_hdf5(x, "feats"),
+                                     return_utt_id=True)
+            else:
+                dataset = MelDataset(args.dumpdir, mel_query="*-feats.npy",
+                                     mel_load_fn=np.load, return_utt_id=True)
+        else:
+            dataset = MelSCPDataset(args.feats_scp, return_utt_id=True)
+    elif dataset_mode in ("a2w", "art", "ph2a", "ph2m", "a2m"):
+        if args.dumpdir is not None:
+            dataset = ArtDataset(args.dumpdir, return_utt_id=True,
+                                 transform=input_transform)
+        else:
+            dataset = ArtSCPDataset(args.feats_scp, return_utt_id=True,
+                                    transform=input_transform)
+    elif dataset_mode == "w2a":
+        assert args.feats_scp is not None
+        dataset = AudioSCPDataset(args.feats_scp, return_utt_id=True,
+                                  return_sampling_rate=False)
+    else:
+        # generic x2y modes read articulatory-style inputs
+        if args.dumpdir is not None:
+            dataset = ArtDataset(args.dumpdir, return_utt_id=True,
+                                 transform=input_transform)
+        else:
+            dataset = ArtSCPDataset(args.feats_scp, return_utt_id=True,
+                                    transform=input_transform)
+    logging.info(f"The number of features to be decoded = {len(dataset)}.")
+
+    model = load_model(args.checkpoint, config)
+    logging.info(f"Loaded model parameters from {args.checkpoint}.")
+
+    os.makedirs(args.outdir, exist_ok=True)
+    use_ar = config["generator_params"].get("use_ar", False)
+    sr = config["sampling_rate"]
+    hop = config["hop_size"]
+
+    total_rtf = 0.0
+    total_time = 0.0
+    total_len = 0.0
+    n = 0
+    with tqdm(dataset, desc="[decode]") as pbar:
+        for idx, item in enumerate(pbar, 1):
+            utt_id, c = item[0], item[1]
+            c = np.asarray(c, np.float32)
+            start = time.time()
+            if use_ar:
+                out = ar_loop(model, c, config)
+                out = np.asarray(out)
+            else:
+                out = model.inference(c, normalize_before=False)
+                out = np.asarray(out)
+            elapsed = time.time() - start
+            if dataset_mode == "w2a" or (dataset_mode not in
+                                         ("default", "m2w", "a2w") and
+                                         out.ndim == 2 and out.shape[1] > 1):
+                # feature-domain output
+                dur = len(c) / sr
+                np.save(os.path.join(args.outdir, f"{utt_id}_gen.npy"),
+                        out.astype(np.float32), allow_pickle=False)
+            else:
+                wav = out.squeeze()
+                dur = len(wav) / sr
+                write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"),
+                          wav, sr)
+            rtf = elapsed / max(dur, 1e-9)
+            total_rtf += rtf
+            total_time += elapsed
+            total_len += dur
+            n += 1
+            pbar.set_postfix({"RTF": rtf})
+
+    logging.info(f"Finished generation of {n} utterances (avg time "
+                 f"{total_time / max(n, 1):.3f} s, avg len "
+                 f"{total_len / max(n, 1):.3f} s).")
+    logging.info(f"Average RTF = {total_rtf / max(n, 1):.6f}; "
+                 f"throughput = {total_len / max(total_time, 1e-9):.1f}x realtime.")
+
+
+if __name__ == "__main__":
+    main()

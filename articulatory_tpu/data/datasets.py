@@ -26,6 +26,24 @@ from articulatory_tpu.utils.io import (
 )
 
 
+def _stage_from_root(root_dir: str) -> str:
+    """Derive the data-stage name from a dump dir path.
+
+    The reference hard-codes ``root_dir.split('/')[1]`` for paths like
+    ``dump/<set>/norm`` (audio_mel_dataset.py:391-393). Generalized: the
+    component after a 'dump' directory, else the 2nd component of a relative
+    path, else the basename.
+    """
+    parts = [p for p in os.path.normpath(root_dir).split(os.sep) if p]
+    if "dump" in parts:
+        i = parts.index("dump")
+        if i + 1 < len(parts):
+            return parts[i + 1]
+    if not os.path.isabs(root_dir) and len(parts) > 1:
+        return parts[1]
+    return parts[-1]
+
+
 def _default_audio_load(path: str) -> np.ndarray:
     return read_hdf5(path, "wave")
 
@@ -84,9 +102,7 @@ class SpeechDataset:
             self.utt_ids = [os.path.splitext(os.path.basename(f))[0]
                             for f in audio_files]
 
-        # reference convention: stage name is the 2nd path component of root_dir
-        parts = os.path.normpath(root_dir).split(os.sep)
-        stage = parts[1] if len(parts) > 1 else parts[-1]
+        stage = _stage_from_root(root_dir)
         feats_path = os.path.join(data_root, stage, "feats.scp")
         assert os.path.exists(feats_path), f"missing {feats_path}"
         fid_to_artp = load_scp(feats_path)
@@ -186,8 +202,7 @@ class MelArtDataset:
         self.mel_files = mel_files
         self.mel_load_fn = mel_load_fn
         self.utt_ids = [os.path.splitext(os.path.basename(f))[0] for f in mel_files]
-        parts = os.path.normpath(root_dir).split(os.sep)
-        stage = parts[1] if len(parts) > 1 else parts[-1]
+        stage = _stage_from_root(root_dir)
         feats_path = os.path.join(data_root, stage, "feats.scp")
         assert os.path.exists(feats_path)
         fid_to_artp = load_scp(feats_path)

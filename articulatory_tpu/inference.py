@@ -1,0 +1,273 @@
+"""Inference runtime: model loading, full-utterance synthesis, and the
+chunked-autoregressive decode loop (HiFi-CAR).
+
+Parity targets: ``load_model`` (reference utils/utils.py:294-372) and
+``ar_loop`` (reference bin/decode.py:31-100), including the w2a direction,
+the shift-register AR update, and the 50%-overlap WSOLA variant.
+
+TPU notes: per-chunk forwards are jitted once per distinct chunk shape (the
+body chunks share one executable; only a short final chunk triggers a second
+compile). The AR recurrence itself is host-driven — chunk counts are tiny
+(≈ tens) and each chunk is a full conv-network forward, so dispatch overhead
+is negligible versus compute; see also ``ar_loop_scan`` for the fully
+compiled scan path used in benchmarking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from articulatory_tpu.config import fix_generator_params, load_config
+from articulatory_tpu.models import build_model
+from articulatory_tpu.ops.interp import interpolate_linear_scale
+from articulatory_tpu.ops.pqmf import PQMF
+from articulatory_tpu.utils.io import read_hdf5
+
+
+@dataclasses.dataclass
+class LoadedModel:
+    model: Any
+    params: Any
+    config: dict
+    mutables: dict
+    mean: np.ndarray | None = None
+    scale: np.ndarray | None = None
+    pqmf: PQMF | None = None
+
+    @property
+    def variables(self):
+        return {"params": self.params, **self.mutables}
+
+    def normalize(self, c: jax.Array) -> jax.Array:
+        if self.mean is None:
+            return c
+        return (c - jnp.asarray(self.mean)) / jnp.asarray(self.scale)
+
+    @functools.cached_property
+    def _jit_forward(self):
+        @jax.jit
+        def fwd(params, c, ar):
+            kwargs = {} if ar is None else {"ar": ar}
+            out = self.model.apply({"params": params, **self.mutables}, c, **kwargs)
+            if isinstance(out, tuple):
+                out = out[0]
+            return out
+
+        return fwd
+
+    def __call__(self, c: jax.Array, ar: jax.Array | None = None) -> jax.Array:
+        return self._jit_forward(self.params, c, ar)
+
+    def inference(self, c: np.ndarray, normalize_before: bool = False
+                  ) -> np.ndarray:
+        """(T, in_feats) -> (T * prod(scales), out_channels), full utterance."""
+        c = jnp.asarray(c, jnp.float32)
+        if normalize_before:
+            c = self.normalize(c)
+        out = self(c[None])
+        if self.pqmf is not None:
+            out = self.pqmf.synthesis(out)
+        return np.asarray(out[0])
+
+
+def _load_stats(stats: str) -> tuple[np.ndarray, np.ndarray]:
+    if stats.endswith(".h5"):
+        mean = read_hdf5(stats, "mean").reshape(-1)
+        scale = read_hdf5(stats, "scale").reshape(-1)
+    else:
+        arr = np.load(stats)
+        mean = arr[0].reshape(-1)
+        scale = arr[1].reshape(-1)
+    return mean, scale
+
+
+def load_model(checkpoint: str, config: dict | str | None = None,
+               stats: str | None = None, generator2: bool = False) -> LoadedModel:
+    """Rebuild a generator from config.yml + checkpoint (ours or torch)."""
+    if generator2:
+        type_key, params_key, generator_key = ("generator2_type",
+                                               "generator2_params", "generator2")
+    else:
+        type_key, params_key, generator_key = ("generator_type",
+                                               "generator_params", "generator")
+    if config is None:
+        config = os.path.join(os.path.dirname(checkpoint), "config.yml")
+    if isinstance(config, str):
+        config = load_config(config)
+
+    gen_type = config.get(type_key, "ParallelWaveGANGenerator")
+    gen_params = fix_generator_params(config[params_key])
+    model = build_model(gen_type, gen_params)
+
+    params, mutables = _load_generator_params(checkpoint, generator_key,
+                                              gen_type, gen_params)
+
+    # stats beside the checkpoint (reference utils.py:345-356)
+    if stats is None:
+        dirname = os.path.dirname(checkpoint)
+        ext = "h5" if config.get("format", "hdf5") == "hdf5" else "npy"
+        candidate = os.path.join(dirname, f"stats.{ext}")
+        if os.path.exists(candidate):
+            stats = candidate
+    mean = scale = None
+    if stats is not None:
+        mean, scale = _load_stats(stats)
+
+    pqmf = None
+    if config[params_key].get("out_channels", 1) > 1:
+        pqmf_params = config.get("pqmf_params", {})
+        pqmf = PQMF(subbands=config[params_key]["out_channels"], **pqmf_params)
+
+    return LoadedModel(model=model, params=params, config=config,
+                       mutables=mutables, mean=mean, scale=scale, pqmf=pqmf)
+
+
+def _load_generator_params(checkpoint: str, generator_key: str,
+                           gen_type: str, gen_params: dict):
+    """Load generator params from our msgpack checkpoint or a torch pickle."""
+    with open(checkpoint, "rb") as f:
+        head = f.read(2)
+    if head == b"PK" or checkpoint.endswith((".pkl", ".pth", ".pt")):
+        try:
+            from articulatory_tpu.utils.checkpoint import load_checkpoint
+
+            payload = load_checkpoint(checkpoint)
+            sd = payload["model"][generator_key]
+            return sd, payload.get("mutables", {}).get(generator_key, {}) or {}
+        except Exception:
+            pass
+        # torch pickle path: convert layouts
+        from articulatory_tpu.utils.torch_import import (
+            import_hifigan_generator,
+            load_torch_checkpoint,
+        )
+
+        ckpt = load_torch_checkpoint(checkpoint)
+        sd = ckpt["model"][generator_key]
+        if isinstance(sd, tuple):  # reference generator2 save quirk (train.py:165)
+            sd = sd[0]
+        if gen_type == "HiFiGANGenerator":
+            return import_hifigan_generator(sd, gen_params), {}
+        raise NotImplementedError(
+            f"torch checkpoint import is implemented for HiFiGANGenerator; "
+            f"got {gen_type}")
+    from articulatory_tpu.utils.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(checkpoint)
+    sd = payload["model"][generator_key]
+    mut = payload.get("mutables", {}).get("generator", {}) if generator_key == "generator" else {}
+    return sd, mut or {}
+
+
+# ---------------------------------------------------------------------------
+# chunked autoregressive decode (HiFi-CAR)
+# ---------------------------------------------------------------------------
+
+def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
+            do_wsola: bool = False, generator2: bool = False):
+    """Chunked AR decode (reference decode.py:31-100).
+
+    Args:
+        model: loaded generator (callable (1, T, C), ar=(1, P, C_out)).
+        x: input sequence (T, num_feats) — features for a2w, waveform for w2a.
+        config: experiment config dict.
+
+    Returns:
+        a2w: waveform (T_out,); w2a: features (T', C); wsola: (chunk list, ins).
+    """
+    params_key = "generator2_params" if generator2 else "generator_params"
+    w2a = (not generator2) and config.get("dataset_mode") == "w2a"
+    audio_chunk_len = config["batch_max_steps"]
+    gp = config[params_key]
+    out_channels = gp.get("out_channels", 1)
+    if w2a:
+        in_chunk_len = audio_chunk_len
+        past_out_len = int(gp.get("ar_input", 512) / out_channels)
+    else:
+        in_chunk_len = int(audio_chunk_len / config["hop_size"])
+        past_out_len = gp.get("ar_input", 512)
+
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+
+    if not do_wsola:
+        ins = [x[i:i + in_chunk_len] for i in range(0, len(x), in_chunk_len)]
+        if w2a and len(ins[-1]) < config["hop_size"]:
+            ins = ins[:-1]
+        prev = jnp.zeros((1, past_out_len, out_channels), jnp.float32)
+        outs = []
+        for cin in ins:
+            cout = model(jnp.asarray(cin)[None], ar=prev)  # (1, T_out, C_out)
+            outs.append(np.asarray(cout[0]))
+            if past_out_len <= audio_chunk_len:
+                prev = cout[:, -past_out_len:, :]
+            else:
+                prev = jnp.concatenate(
+                    [prev[:, len(cin) if w2a else cout.shape[1]:, :], cout], axis=1)
+        out = np.concatenate(outs, axis=0)  # (T_out, C)
+        return out if w2a else out[:, 0] if out.shape[1] == 1 else out
+    else:
+        extra_art = config[params_key].get("extra_art", False)
+        assert in_chunk_len % 2 == 0
+        step = int(in_chunk_len / 2)
+        ins = [x[i:i + in_chunk_len + int(bool(extra_art))]
+               for i in range(0, len(x), step)]
+        prev = jnp.zeros((1, past_out_len, 1), jnp.float32)
+        outs = []
+        for art_i, art in enumerate(ins):
+            signal = model(jnp.asarray(art)[None], ar=prev)  # (1, T, 1)
+            outs.append(np.asarray(signal[0, :, 0]))
+            if art_i < len(ins) - 1:
+                lo = int(audio_chunk_len / 2) - past_out_len
+                hi = int(audio_chunk_len / 2)
+                prev = signal[:, lo:hi, :]
+                assert prev.shape[1] == past_out_len
+        return outs, ins
+
+
+def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict) -> np.ndarray:
+    """Fully-compiled AR decode: pad to whole chunks and lax.scan over them.
+
+    Matches ``ar_loop`` on all complete chunks; the tail beyond the original
+    length is trimmed. Preferred for benchmarking/serving (single dispatch).
+    """
+    gp = config["generator_params"]
+    hop = config["hop_size"]
+    audio_chunk_len = config["batch_max_steps"]
+    in_chunk_len = audio_chunk_len // hop
+    past_out_len = gp.get("ar_input", 512)
+    out_channels = gp.get("out_channels", 1)
+    assert past_out_len <= audio_chunk_len, "shift-register path not scanned yet"
+
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    t = len(x)
+    n_chunks = -(-t // in_chunk_len)
+    pad = n_chunks * in_chunk_len - t
+    xp = np.pad(x, ((0, pad), (0, 0)))
+    chunks = jnp.asarray(xp.reshape(n_chunks, in_chunk_len, x.shape[1]))
+
+    @jax.jit
+    def run(params, chunks):
+        def body(prev, cin):
+            out = model.model.apply({"params": params, **model.mutables},
+                                    cin[None], ar=prev)
+            if isinstance(out, tuple):
+                out = out[0]
+            return out[:, -past_out_len:, :], out[0]
+
+        prev0 = jnp.zeros((1, past_out_len, out_channels), jnp.float32)
+        _, outs = jax.lax.scan(body, prev0, chunks)
+        return outs.reshape(-1, outs.shape[-1])
+
+    out = np.asarray(run(model.params, chunks))
+    return out[: t * hop, 0] if out.shape[1] == 1 else out[: t * hop]

@@ -33,6 +33,26 @@ def make_mesh(num_devices: int | None = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_data_mesh(batch_size: int, axis_name: str = "data") -> Mesh:
+    """Data-parallel mesh over as many devices as divide the global batch.
+
+    If the configured batch size is not divisible by the device count, use
+    the largest divisor (with a warning) rather than failing — mirrors how
+    per-device batching must stay integral under SPMD.
+    """
+    import logging
+
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n != len(devices):
+        logging.warning(
+            f"batch_size={batch_size} not divisible by {len(devices)} devices; "
+            f"using a {n}-device data mesh.")
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
 def batch_sharding(mesh: Mesh, ndim: int, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
 
