@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Speech-to-EMA with a linear regression model over WavLM features.
+
+Parity target: reference egs/ema/voc1/local/linear_inference.py — WavLM-large
+layer-9 hidden states -> sklearn joblib regressor -> EMA .npy. Assumes the
+waveform is 16 kHz. Requires cached HF weights (microsoft/wavlm-large) in
+offline environments.
+
+Usage: python local/linear_inference.py <wav> <linear.joblib> <out.npy>
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+from joblib import load
+
+from articulatory_tpu.utils.io import read_wav
+
+LAYER_NUM = 9
+
+
+def wavlm_features(audio: np.ndarray) -> np.ndarray:
+    import torch
+    from transformers import WavLMModel
+
+    model = WavLMModel.from_pretrained("microsoft/wavlm-large")
+    model.eval()
+    with torch.no_grad():
+        out = model(torch.from_numpy(audio).float()[None],
+                    output_hidden_states=True)
+    return out.hidden_states[LAYER_NUM][0].numpy()
+
+
+def main():
+    path, reg_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    audio, sampling_rate = read_wav(path)
+    assert sampling_rate == 16000
+    feature = wavlm_features(audio)
+    reg = load(reg_path)
+    pred = reg.predict(feature)
+    np.save(out_path, pred)
+
+
+if __name__ == "__main__":
+    main()

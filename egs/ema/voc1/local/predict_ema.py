@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Speech-to-EMA inversion (public API).
+
+Parity target: reference egs/ema/voc1/local/predict_ema.py — extracts either
+HuBERT-large hidden states (x interp-factor linear interpolation to 200 Hz)
+or z-scored 13-dim MFCCs, then runs the w2a AR loop / full inference and
+saves .npy EMA trajectories.
+
+SSL features use HF transformers (facebook/hubert-large-ll60k); in offline
+environments without cached weights the MFCC path still works. Exp-id
+conventions follow the reference: '_h2' -> hubert features; 'hprc' prefix ->
+interp factor 2 / hop 160, else 4 / 80.
+
+Usage: python local/predict_ema.py <exp_id or exp_dir> <input_wav_dir> <output_dir>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import yaml
+from scipy import stats
+from tqdm import tqdm
+
+from articulatory_tpu.inference import ar_loop, load_model
+from articulatory_tpu.ops.mfcc import mfcc_np
+from articulatory_tpu.utils.io import read_wav
+
+
+def wav2mfcc(wav, sr, num_mfcc=13, n_mels=40, n_fft=320, hop_length=160):
+    feat = mfcc_np(wav, sr, n_mfcc=num_mfcc, n_fft=n_fft,
+                   hop_length=hop_length, n_mels=n_mels)
+    return stats.zscore(feat, axis=None)
+
+
+def hubert_features(audio: np.ndarray, interp_factor: int) -> np.ndarray:
+    """HuBERT-large last hidden states, linearly upsampled to frame rate."""
+    import torch
+    from transformers import HubertModel, Wav2Vec2FeatureExtractor
+
+    model = HubertModel.from_pretrained("facebook/hubert-large-ll60k")
+    model.eval()
+    with torch.no_grad():
+        states = model(torch.from_numpy(audio).float()[None]).last_hidden_state
+        target = states.shape[1] * interp_factor
+        feat = torch.nn.functional.interpolate(
+            states.transpose(1, 2), size=target, mode="linear",
+            align_corners=False).transpose(1, 2)[0]
+    return feat.numpy()
+
+
+def main():
+    exp_id = sys.argv[1]
+    wav_d = sys.argv[2]
+    output_feats_d = sys.argv[3]
+
+    input_modality = "hubert" if "_h2" in exp_id else "mfcc"
+    if os.path.basename(exp_id).startswith("hprc"):
+        interp_factor, hop_length = 2, 160
+    else:
+        interp_factor, hop_length = 4, 80
+
+    exp_dir = exp_id if os.path.isdir(exp_id) else f"exp/{exp_id}"
+    checkpoint = os.path.join(exp_dir, "best_mel_ckpt.pkl")
+    with open(os.path.join(exp_dir, "config.yml")) as f:
+        config = yaml.load(f, Loader=yaml.Loader)
+    model = load_model(checkpoint, config)
+
+    files = sorted(f for f in os.listdir(wav_d) if f.endswith(".wav"))
+    os.makedirs(output_feats_d, exist_ok=True)
+
+    for f in tqdm(files):
+        audio, sr = read_wav(os.path.join(wav_d, f))
+        fid = f[: f.rfind(".")]
+        if input_modality == "hubert":
+            feat = hubert_features(audio, interp_factor)
+        else:
+            feat = wav2mfcc(audio, sr=sr, hop_length=hop_length).T  # (T, C)
+        if config["generator_params"].get("use_ar", False):
+            pred = ar_loop(model, feat.astype(np.float32), config)
+        else:
+            pred = model.inference(feat.astype(np.float32))
+        np.save(os.path.join(output_feats_d, fid + ".npy"), np.asarray(pred))
+
+
+if __name__ == "__main__":
+    main()
