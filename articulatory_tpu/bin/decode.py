@@ -80,6 +80,11 @@ def main():
         else:
             dataset = ArtSCPDataset(args.feats_scp, return_utt_id=True,
                                     transform=input_transform)
+    elif dataset_mode == "a2w_mult":
+        from articulatory_tpu.data.multimodal import ArtSCPMultDataset
+
+        dataset = ArtSCPMultDataset(args.feats_scp, return_utt_id=True,
+                                    transform=config.get("transform"))
     elif dataset_mode == "w2a":
         assert args.feats_scp is not None
         dataset = AudioSCPDataset(args.feats_scp, return_utt_id=True,
@@ -109,10 +114,11 @@ def main():
     with tqdm(dataset, desc="[decode]") as pbar:
         for idx, item in enumerate(pbar, 1):
             utt_id, c = item[0], item[1]
+            modality = item[2] if dataset_mode == "a2w_mult" else None
             c = np.asarray(c, np.float32)
             start = time.time()
             if use_ar:
-                out = ar_loop(model, c, config)
+                out = ar_loop(model, c, config, modality=modality)
                 out = np.asarray(out)
             else:
                 out = model.inference(c, normalize_before=False)

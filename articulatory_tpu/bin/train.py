@@ -222,9 +222,15 @@ def main():
     set_logging(args.verbose)
 
     if args.coordinator_address is not None or "JAX_COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize(
-            coordinator_address=args.coordinator_address,
-            num_processes=args.num_processes, process_id=args.process_id)
+        coord = args.coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        nproc = args.num_processes
+        if nproc is None and "JAX_NUM_PROCESSES" in os.environ:
+            nproc = int(os.environ["JAX_NUM_PROCESSES"])
+        pid = args.process_id
+        if pid is None and "JAX_PROCESS_ID" in os.environ:
+            pid = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=nproc, process_id=pid)
 
     with open(args.config) as f:
         config = yaml.load(f, Loader=yaml.Loader)

@@ -16,3 +16,8 @@ from articulatory_tpu.data.collate import (  # noqa: F401
 )
 from articulatory_tpu.data.samplers import SizeAwareSampler  # noqa: F401
 from articulatory_tpu.data.loader import DataLoader  # noqa: F401
+from articulatory_tpu.data.multimodal import (  # noqa: F401
+    WavArtMultDataset,
+    ArtSCPMultDataset,
+    SpeechCollaterMult,
+)

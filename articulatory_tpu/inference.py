@@ -171,7 +171,8 @@ def _load_generator_params(checkpoint: str, generator_key: str,
 # ---------------------------------------------------------------------------
 
 def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
-            do_wsola: bool = False, generator2: bool = False):
+            do_wsola: bool = False, modality: int | None = None,
+            generator2: bool = False):
     """Chunked AR decode (reference decode.py:31-100).
 
     Args:
@@ -198,6 +199,15 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
     if x.ndim == 1:
         x = x[:, None]
 
+    if modality is not None:
+        # multimodal decode (reference decode.py:52-53, 67-71): interpolate
+        # the chunk to the common frame rate and place it in the per-modality
+        # input list expected by in_list generators
+        scale_factor = (config["sampling_rate"] / config["hop_size"]
+                        * config["hop_sizes"][modality]
+                        / config["sampling_rates"][modality])
+        n_modalities = len(gp["in_list"])
+
     if not do_wsola:
         ins = [x[i:i + in_chunk_len] for i in range(0, len(x), in_chunk_len)]
         if w2a and len(ins[-1]) < config["hop_size"]:
@@ -205,6 +215,18 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
         prev = jnp.zeros((1, past_out_len, out_channels), jnp.float32)
         outs = []
         for cin in ins:
+            if modality is not None:
+                from articulatory_tpu.ops.interp import interpolate_linear_scale
+
+                interp = interpolate_linear_scale(jnp.asarray(cin)[None],
+                                                  scale_factor)
+                cin_list = [None] * n_modalities
+                cin_list[modality] = interp
+                cout = model(cin_list, ar=prev)
+                outs.append(np.asarray(cout[0]))
+                if past_out_len <= audio_chunk_len:
+                    prev = cout[:, -past_out_len:, :]
+                continue
             cout = model(jnp.asarray(cin)[None], ar=prev)  # (1, T_out, C_out)
             outs.append(np.asarray(cout[0]))
             if past_out_len <= audio_chunk_len:

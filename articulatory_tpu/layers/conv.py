@@ -88,6 +88,27 @@ def _resolve_kernel_init(name: str | Initializer, fan_in_axes: Sequence[int]) ->
     raise ValueError(f"Unknown kernel init: {name}")
 
 
+def spectral_normalize(w: Array, out_axis: int = -1, n_iter: int = 5) -> Array:
+    """Spectral normalization w / sigma_max(W).
+
+    Deterministic power iteration from a fixed start vector (the reference's
+    torch.spectral_norm carries a persistent ``u`` across steps; here the
+    iteration runs to convergence-ish each call — stateless and jit-friendly.
+    Gradients flow through w but not through the iteration itself).
+    """
+    c_out = w.shape[out_axis]
+    mat = jnp.moveaxis(w, out_axis, 0).reshape(c_out, -1)
+    u = jnp.ones((c_out,), w.dtype) / np.sqrt(c_out)
+    m = jax.lax.stop_gradient(mat)
+    for _ in range(n_iter):
+        v = m.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u = m @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+    sigma = u @ (mat @ v)
+    return w / sigma
+
+
 def _weight_norm_param(module: nn.Module, shape: tuple[int, ...],
                        kernel_init: Initializer, norm_axes: tuple[int, ...]) -> Array:
     """Create (v, g) params and return the normalized weight."""
@@ -201,6 +222,7 @@ class Conv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     use_weight_norm: bool = False
+    use_spectral_norm: bool = False
     kernel_init: str | Initializer = "torch_default"
 
     @nn.compact
@@ -213,6 +235,8 @@ class Conv2d(nn.Module):
             w = _weight_norm_param(self, shape, kinit, norm_axes=(0, 1, 2))
         else:
             w = self.param("w", kinit, shape)
+            if self.use_spectral_norm:
+                w = spectral_normalize(w)
         b = None
         if self.use_bias:
             fan_in = int(np.prod(shape[:3]))

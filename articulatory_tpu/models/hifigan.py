@@ -219,6 +219,7 @@ class HiFiGANPeriodDiscriminator(nn.Module):
                        padding=((self.kernel_sizes[0] - 1) // 2, 0),
                        use_bias=self.bias,
                        use_weight_norm=self.use_weight_norm,
+                       use_spectral_norm=self.use_spectral_norm,
                        name=f"conv_{i}")(x)
             x = act(x)
             outs.append(x)
@@ -227,6 +228,7 @@ class HiFiGANPeriodDiscriminator(nn.Module):
         x = Conv2d(self.out_channels, (self.kernel_sizes[1] - 1, 1),
                    padding=((self.kernel_sizes[1] - 1) // 2, 0),
                    use_weight_norm=self.use_weight_norm,
+                   use_spectral_norm=self.use_spectral_norm,
                    name="output_conv")(x)
         outs.append(x.reshape(b, -1))
         return outs

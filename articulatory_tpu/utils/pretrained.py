@@ -1,0 +1,75 @@
+"""Pretrained model registry (reference utils/utils.py:22-59, 375-407).
+
+The reference downloads 36 ParallelWaveGAN-era checkpoints from Google Drive
+via gdown. This environment has no network egress and no gdown; the registry
+tags are preserved so user code depending on the API keeps working, and
+``download_pretrained_model`` resolves from a local cache directory
+(``~/.cache/articulatory_tpu`` or $ARTICULATORY_PRETRAIN_DIR) or raises a
+clear error telling the user to place the files there.
+
+Reference torch checkpoints placed in the cache are ingested through
+``articulatory_tpu.utils.torch_import`` at load time.
+"""
+
+from __future__ import annotations
+
+import os
+
+# tag -> google drive id (for provenance; not downloadable here)
+PRETRAINED_MODEL_LIST = {
+    "ljspeech_parallel_wavegan.v1": "1PdZv37JhAQH6AwNh31QlqruqrvjTBq7U",
+    "ljspeech_parallel_wavegan.v1.long": "1A9TsrD9fHxFviJVFjCk5W6lkzWXwhftv",
+    "ljspeech_parallel_wavegan.v1.no_limit": "1CdWKSiKoFNPZyF1lo7Dsj6cPKmfLJe72",
+    "ljspeech_parallel_wavegan.v3": "1a5Q2KiJfUQbVFo_r6gFCiCT4tJCp9XS2",
+    "ljspeech_melgan.v1": "1z0vO1UMFHyeCdCLAmd7Moewi4QgCb07S",
+    "ljspeech_melgan.v1.long": "1RqNGcFO7Geb6-4pJtMbC9-ph_WiWA14e",
+    "ljspeech_melgan_large.v1": "1KQt-gyxbG6iTZ4aVn9YjQuaGYjAleYs8",
+    "ljspeech_melgan_large.v1.long": "1ogEx-wiQS7HVtdU0_TmlENURIe4v2erC",
+    "ljspeech_melgan.v3": "1eXkm_Wf1YVlk5waP60V44DZ82cpVyiOv",
+    "ljspeech_melgan.v3.long": "124JnaLcRe7TsuAGh7XiCZGr6z7iA5Zgk",
+    "ljspeech_full_band_melgan.v2": "1Kb5q5zPeQvcalZ56VRmrrqHqNOTWKc_I",
+    "ljspeech_multi_band_melgan.v2": "1b70pJefKI8DhGYz4SxbEHpxm92tj1_qC",
+    "ljspeech_hifigan.v1": "1i6-hR_ksEssCYNlNII86v3AoeA1JcuWD",
+    "ljspeech_style_melgan.v1": "10aJSZfmCAobQJgRGio6cNyw6Xlgmme9-",
+    "jsut_parallel_wavegan.v1": "1qok91A6wuubuz4be-P9R2zKhNmQXG0VQ",
+    "jsut_multi_band_melgan.v2": "1chTt-76q2p69WPpZ1t1tt8szcM96IKad",
+    "csmsc_parallel_wavegan.v1": "1QTOAokhD5dtRnqlMPTXTW91-CG7jf74e",
+    "csmsc_multi_band_melgan.v2": "1G6trTmt0Szq-jWv2QDhqglMdWqQxiXQT",
+    "arctic_slt_parallel_wavegan.v1": "1_MXePg40-7DTjD0CDVzyduwQuW_O9aA1",
+    "jnas_parallel_wavegan.v1": "1D2TgvO206ixdLI90IqG787V6ySoXLsV_",
+    "vctk_parallel_wavegan.v1": "1bqEFLgAroDcgUy5ZFP4g2O2MwcwWLEca",
+    "vctk_parallel_wavegan.v1.long": "1tO4-mFrZ3aVYotgg7M519oobYkD4O_0-",
+    "vctk_multi_band_melgan.v2": "10PRQpHMFPE7RjF-MHYqvupK9S0xwBlJ_",
+    "libritts_parallel_wavegan.v1": "1zHQl8kUYEuZ_i1qEFU6g2MEu99k3sHmR",
+    "libritts_parallel_wavegan.v1.long": "1b9zyBYGCCaJu0TIus5GXoMF8M3YEbqOw",
+    "libritts_multi_band_melgan.v2": "1kIDSBjrQvAsRewHPiFwBZ3FDelTWMp64",
+    "kss_parallel_wavegan.v1": "1mLtQAzZHLiGSWguKCGG0EZa4C_xUO5gX",
+    "hui_acg_hokuspokus_parallel_wavegan.v1": "1irKf3okMLau56WNeOnhr2ZfSVESyQCGS",
+    "ruslan_parallel_wavegan.v1": "1M3UM6HN6wrfSe5jdgXwBnAIl_lJzLzuI",
+}
+
+
+def download_pretrained_model(tag: str, download_dir: str | None = None) -> str:
+    """Resolve a pretrained checkpoint from the local cache.
+
+    Returns the checkpoint path. Raises with instructions if absent (no
+    network egress in this environment).
+    """
+    assert tag in PRETRAINED_MODEL_LIST, f"{tag} does not exist."
+    if download_dir is None:
+        download_dir = os.environ.get(
+            "ARTICULATORY_PRETRAIN_DIR",
+            os.path.expanduser("~/.cache/articulatory_tpu"))
+    tag_dir = os.path.join(download_dir, tag)
+    if os.path.isdir(tag_dir):
+        from articulatory_tpu.utils.io import find_files
+
+        ckpts = find_files(tag_dir, "checkpoint*.pkl") + \
+            find_files(tag_dir, "*.ckpt")
+        if ckpts:
+            return ckpts[0]
+    raise FileNotFoundError(
+        f"Pretrained model '{tag}' not found under {tag_dir}. This "
+        f"environment has no network access; download the archive (Google "
+        f"Drive id {PRETRAINED_MODEL_LIST[tag]}) elsewhere and extract it "
+        f"to that directory.")

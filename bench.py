@@ -55,32 +55,37 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), c0, ar=ar0)
     params = variables["params"]
 
+    # Per-chunk jitted forward; the AR recurrence is host-driven (matching
+    # the production ar_loop), with the carried context keeping every chunk
+    # data-dependent on the previous one. The final scalar fetch transitively
+    # synchronizes the whole stream — block_until_ready is not a reliable
+    # sync point on the axon relay platform.
     @jax.jit
-    def synthesize(params, chunks):
-        def body(prev, cin):
-            out = model.apply({"params": params}, cin, ar=prev)
-            return out[:, -AR_INPUT:, :], out
+    def chunk_fwd(params, cin, prev):
+        out = model.apply({"params": params}, cin, ar=prev)
+        return out, out[:, -AR_INPUT:, :]
 
-        prev0 = jnp.zeros((chunks.shape[1], AR_INPUT, 1), jnp.float32)
-        _, outs = jax.lax.scan(body, prev0, chunks)
-        # (n_chunks, B, chunk_samples, 1) -> (B, T, 1)
-        return jnp.swapaxes(outs, 0, 1).reshape(chunks.shape[1], -1)
+    def synthesize(params, chunks):
+        prev = jnp.zeros((chunks.shape[1], AR_INPUT, 1), jnp.float32)
+        total = 0
+        for i in range(chunks.shape[0]):
+            out, prev = chunk_fwd(params, chunks[i], prev)
+            total += out.size
+        return total, jnp.sum(out)
 
     # warmup / compile
-    wav = synthesize(params, feats)
-    jax.block_until_ready(wav)
+    samples_per_iter, chk = synthesize(params, feats)
+    float(chk)
 
-    n_iters = 3
+    n_iters = 5
     start = time.perf_counter()
-    for _ in range(n_iters):
-        wav = synthesize(params, feats)
-    jax.block_until_ready(wav)
+    for i in range(n_iters):
+        _, chk = synthesize(params, feats)
+        float(chk)  # host sync (depends on the iteration's full AR chain)
     elapsed = time.perf_counter() - start
 
-    total_samples = n_iters * wav.size
-    samples_per_sec = total_samples / elapsed
-    n_chips = max(1, len([d for d in jax.devices()]))
-    per_chip = samples_per_sec / 1  # single-chip benchmark by construction
+    samples_per_sec = n_iters * samples_per_iter / elapsed
+    per_chip = samples_per_sec  # single-chip benchmark by construction
 
     print(json.dumps({
         "metric": "e2w_hifigan_car_synthesis_throughput",

@@ -60,6 +60,35 @@ def reference():
         librosa.filters = filters
         sys.modules["librosa"] = librosa
         sys.modules["librosa.filters"] = filters
+    if "soundfile" not in sys.modules:
+        # scipy-backed soundfile shim (module-level import in reference decode)
+        import types
+
+        from articulatory_tpu.utils.io import read_wav, write_wav
+
+        sf = types.ModuleType("soundfile")
+        sf.read = lambda path, **kw: read_wav(path)
+        sf.write = lambda path, data, sr, **kw: write_wav(path, data, sr)
+        sys.modules["soundfile"] = sf
+    if "resampy" not in sys.modules:
+        import types
+
+        from articulatory_tpu.ops.audio import resample as _resample
+
+        resampy = types.ModuleType("resampy")
+        resampy.resample = lambda x, orig, target, **kw: _resample(x, orig, target)
+        sys.modules["resampy"] = resampy
+    if "kaldiio" not in sys.modules:
+        import types
+
+        kaldiio = types.ModuleType("kaldiio")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("kaldiio shim: not implemented in tests")
+
+        kaldiio.load_scp = _unavailable
+        kaldiio.ReadHelper = _unavailable
+        sys.modules["kaldiio"] = kaldiio
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import articulatory  # noqa: F401

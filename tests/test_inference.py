@@ -1,0 +1,159 @@
+"""Inference-path tests: ar_loop parity vs the reference driver, checkpoint
+roundtrip, scheduler parity vs torch."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference
+
+CAR_GEN_CFG = dict(in_channels=13 + 16, out_channels=1, channels=32,
+                   kernel_size=7, upsample_scales=[5, 4, 2, 2],
+                   upsample_kernel_sizes=[10, 8, 4, 4],
+                   resblock_kernel_sizes=[3], resblock_dilations=[[1, 3]],
+                   use_ar=True, ar_input=64, ar_hidden=16, ar_output=16)
+
+
+def _car_config():
+    return {"dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+            "sampling_rate": 16000, "generator_params": dict(CAR_GEN_CFG)}
+
+
+class _JaxModelShim:
+    """Minimal LoadedModel-like callable for ar_loop tests."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        self.mutables = {}
+
+    def __call__(self, c, ar=None):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def _jit():
+            return jax.jit(lambda p, c, ar: self.model.apply({"params": p}, c, ar=ar))
+
+        return _jit()(self.params, c, ar)
+
+
+@requires_reference
+def test_ar_loop_matches_reference(reference, rng):
+    """Same weights, same input: our ar_loop output == reference ar_loop."""
+    import torch
+    from articulatory.bin.decode import ar_loop as ref_ar_loop
+    from articulatory.models import HiFiGANGenerator as RefGen
+
+    from articulatory_tpu.inference import ar_loop
+    from articulatory_tpu.models.hifigan import HiFiGANGenerator
+    from articulatory_tpu.utils.torch_import import import_hifigan_generator
+
+    torch.manual_seed(0)
+    ref = RefGen(**CAR_GEN_CFG)
+    ref.eval()
+    params = import_hifigan_generator(ref.state_dict(), CAR_GEN_CFG)
+    ours = HiFiGANGenerator(**{**CAR_GEN_CFG,
+                               "upsample_scales": tuple(CAR_GEN_CFG["upsample_scales"]),
+                               "upsample_kernel_sizes": tuple(CAR_GEN_CFG["upsample_kernel_sizes"]),
+                               "resblock_kernel_sizes": tuple(CAR_GEN_CFG["resblock_kernel_sizes"]),
+                               "resblock_dilations": ((1, 3),)})
+
+    config = _car_config()
+    # 35 frames -> 3 chunks of 10 with a short last chunk
+    x = rng.standard_normal((35, 13)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref_ar_loop(ref, torch.from_numpy(x), config).numpy()
+
+    shim = _JaxModelShim(ours, params)
+    y_ours = np.asarray(ar_loop(shim, x, config))
+    assert y_ours.shape == y_ref.shape
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+
+    from articulatory_tpu.models.hifigan import HiFiGANGenerator
+    from articulatory_tpu.train.gan import GANTrainState
+    from articulatory_tpu.train.schedulers import MultiStepLR
+    from articulatory_tpu.utils.checkpoint import (
+        load_checkpoint,
+        restore_state,
+        save_checkpoint,
+    )
+
+    model = HiFiGANGenerator(in_channels=13, channels=16,
+                             upsample_scales=(4, 2), upsample_kernel_sizes=(8, 4),
+                             resblock_kernel_sizes=(3,), resblock_dilations=((1,),))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 13)))
+    tx = optax.adam(1e-4)
+    state = GANTrainState(params_g=v["params"], params_d=v["params"],
+                          opt_g=tx.init(v["params"]), opt_d=tx.init(v["params"]),
+                          steps=jnp.asarray(123, jnp.int32))
+    scheds = {"generator": MultiStepLR(1e-4, [100], 0.5),
+              "discriminator": MultiStepLR(1e-4, [100], 0.5)}
+    scheds["generator"].step_count = 123
+    scheds["generator"]._update(None)
+
+    path = str(tmp_path / "ckpt.ckpt")
+    save_checkpoint(path, state, schedulers=scheds, epochs=7)
+
+    # fresh state, restore
+    state2 = GANTrainState(params_g=jax.tree.map(jnp.zeros_like, v["params"]),
+                           params_d=jax.tree.map(jnp.zeros_like, v["params"]),
+                           opt_g=tx.init(v["params"]), opt_d=tx.init(v["params"]),
+                           steps=jnp.asarray(0, jnp.int32))
+    scheds2 = {"generator": MultiStepLR(1e-4, [100], 0.5),
+               "discriminator": MultiStepLR(1e-4, [100], 0.5)}
+    payload = load_checkpoint(path)
+    restored, epochs = restore_state(state2, payload, schedulers=scheds2)
+    assert epochs == 7
+    assert int(restored.steps) == 123
+    assert scheds2["generator"].step_count == 123
+    a = jax.tree.leaves(state.params_g)[0]
+    b = jax.tree.leaves(restored.params_g)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_schedulers_match_torch():
+    import torch
+
+    from articulatory_tpu.train.schedulers import (
+        ExponentialLR,
+        MultiStepLR,
+        ReduceLROnPlateau,
+        StepLR,
+    )
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    for ours, t_cls, t_kw, o_kw in [
+        (MultiStepLR, torch.optim.lr_scheduler.MultiStepLR,
+         {"milestones": [3, 7], "gamma": 0.5}, {"milestones": [3, 7], "gamma": 0.5}),
+        (StepLR, torch.optim.lr_scheduler.StepLR,
+         {"step_size": 4, "gamma": 0.1}, {"step_size": 4, "gamma": 0.1}),
+        (ExponentialLR, torch.optim.lr_scheduler.ExponentialLR,
+         {"gamma": 0.9}, {"gamma": 0.9}),
+    ]:
+        opt = torch.optim.Adam([p], lr=1e-3)
+        tsched = t_cls(opt, **t_kw)
+        osched = ours(1e-3, **o_kw)
+        for step in range(12):
+            opt.step()
+            tsched.step()
+            osched.step()
+            np.testing.assert_allclose(osched.lr, opt.param_groups[0]["lr"],
+                                       rtol=1e-9, err_msg=f"{ours} @ {step}")
+
+    # plateau behavior
+    opt = torch.optim.Adam([p], lr=1e-3)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, factor=0.5, patience=2)
+    osched = ReduceLROnPlateau(1e-3, factor=0.5, patience=2)
+    metrics = [1.0, 0.9, 0.95, 0.96, 0.97, 0.98, 0.99, 0.5, 0.6, 0.7, 0.8, 0.9]
+    for m in metrics:
+        tsched.step(m)
+        osched.step(m)
+        np.testing.assert_allclose(osched.lr, opt.param_groups[0]["lr"], rtol=1e-9)
