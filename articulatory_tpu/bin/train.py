@@ -262,8 +262,32 @@ def main():
         batch_sampler = SizeAwareSampler(audio_lens,
                                          **config.get("batch_sampler_params", {}))
 
+    # opt-in native C++ batch assembly for the hot a2w/random_window path
+    train_loader = None
+    if (config.get("use_native_loader", False)
+            and config.get("dataset_mode") == "a2w"
+            and config.get("package_mode", "random_window") == "random_window"
+            and batch_sampler is None):
+        from articulatory_tpu.data import native_loader as nl
+
+        if nl.is_available():
+            gp = config["generator_params"]
+            ar_len = (int(gp.get("ar_input", 512) / gp.get("out_channels", 1))
+                      if gp.get("use_ar", False) else 0)
+            train_loader = nl.NativeDataLoader(
+                train_dataset, batch_size=config["batch_size"],
+                batch_max_steps=config["batch_max_steps"],
+                hop_size=config["hop_size"], ar_len=ar_len, seed=args.seed,
+                shard_id=shard_id, num_shards=num_shards,
+                n_threads=max(2, config.get("num_workers", 0) or 4))
+            logging.info("using native C++ batch assembly for training data")
+        else:
+            logging.warning("use_native_loader set but the native library is "
+                            "not built; falling back to the Python loader")
+
     data_loader = {
-        "train": DataLoader(train_dataset, batch_size=config["batch_size"],
+        "train": train_loader if train_loader is not None else
+        DataLoader(train_dataset, batch_size=config["batch_size"],
                             shuffle=True, collate_fn=train_collater,
                             drop_last=True, batch_sampler=batch_sampler,
                             num_workers=config.get("num_workers", 0),

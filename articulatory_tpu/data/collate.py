@@ -117,6 +117,14 @@ class SpeechCollater:
                     phs.append(d["ph"])
                 if self.use_mel:
                     mels.append(d["mel"])
+        if len(arts) < len(batch):
+            # NOTE: dropping short utterances changes the batch size, which
+            # forces an XLA recompile; prefer remove_short_samples (dataset
+            # level filtering) on TPU
+            logging.warning(
+                f"collater dropped {len(batch) - len(arts)} utterances shorter "
+                f"than the {self.batch_max_frames}-frame window; enable "
+                f"remove_short_samples to avoid per-batch shape changes")
         out: dict = {}
         if self.use_spk_id:
             out["spk_id"] = np.asarray(spk_ids, dtype=np.int32)

@@ -122,3 +122,66 @@ class NativeBatcher:
         if getattr(self, "_h", None) and self._lib is not None:
             self._lib.ab_destroy(self._h)
             self._h = None
+
+
+class NativeDataLoader:
+    """Epoch iterator over a NativeBatcher corpus (a2w / random_window).
+
+    Drop-in for data.loader.DataLoader in the hot training path: shuffling
+    and sharding happen on the index space; crop/pack runs in the C++ worker
+    pool. Utterances shorter than the window are skipped up front (the
+    Python collater drops them per batch).
+    """
+
+    def __init__(self, dataset, *, batch_size: int, batch_max_steps: int,
+                 hop_size: int, ar_len: int = 0, seed: int = 0,
+                 shard_id: int = 0, num_shards: int = 1, n_threads: int = 8,
+                 cache_dir: str | None = None):
+        self.batcher = NativeBatcher(batch_max_steps, hop_size, ar_len,
+                                     n_threads)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.epoch = 0
+        frames = batch_max_steps // hop_size
+
+        # feed the corpus: audio must be .npy for the C++ reader; hdf5 dumps
+        # are materialized once into a sidecar cache
+        for i in range(len(dataset)):
+            audio_path = dataset.audio_files[i]
+            art_path = dataset.art_files[i]
+            if audio_path.endswith(".h5"):
+                cache = cache_dir or os.path.join(
+                    os.path.dirname(audio_path), ".native_cache")
+                os.makedirs(cache, exist_ok=True)
+                npy_path = os.path.join(
+                    cache, os.path.basename(audio_path) + "-wave.npy")
+                if not os.path.exists(npy_path):
+                    from articulatory_tpu.utils.io import read_hdf5
+
+                    np.save(npy_path,
+                            read_hdf5(audio_path, "wave").astype(np.float32))
+                audio_path = npy_path
+            self.batcher.add_utterance(audio_path, art_path)
+        # usable utterances only
+        self.indices = [i for i in range(len(self.batcher))
+                        if self.batcher.utt_frames(i) > frames]
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.indices) // self.num_shards
+        return n // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = np.asarray(self.indices)
+        rng.shuffle(order)
+        order = order[self.shard_id::self.num_shards]
+        for bi, i in enumerate(range(0, len(order) - self.batch_size + 1,
+                                     self.batch_size)):
+            idxs = order[i:i + self.batch_size]
+            seed = (self.seed * 1_000_003 + self.epoch * 7919 + bi) & 0xFFFFFFFF
+            yield self.batcher.collate(list(idxs), seed)

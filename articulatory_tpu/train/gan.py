@@ -187,12 +187,16 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
         spk_id = batch.get("spk_id")
         ph = batch.get("ph")
         variables = {"params": params_g, **mutables_g}
-        do_mutate = mutable and bool(mutables_g)
+        # batch_stats must be opened whenever the model runs in train mode
+        # (BatchNorm writes); the caller decides whether to keep the update
+        has_mutables = bool(mutables_g)
         out = gen_fwd(variables, x, spk_id=spk_id, ar=ar, ph=ph, rngs=rngs,
-                      train=train, mutable=do_mutate)
+                      train=train, mutable=has_mutables and train)
         new_mutables = mutables_g
-        if do_mutate:
-            out, new_mutables = out
+        if has_mutables and train:
+            out, updated = out
+            if mutable:
+                new_mutables = updated
         ph_ = None
         if has_gen2:
             inter_ = out

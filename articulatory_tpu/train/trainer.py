@@ -90,6 +90,19 @@ class Trainer:
             self.data_loader["train"].set_epoch(self.epochs)
 
     def _train_step(self, batch):
+        # optional jax.profiler trace window: config `profile_steps: [lo, hi]`
+        prof = self.config.get("profile_steps")
+        if prof and self.is_host:
+            if self.steps == int(prof[0]):
+                import jax.profiler
+
+                jax.profiler.start_trace(os.path.join(self.outdir, "profile"))
+                logging.info(f"profiler trace started @ step {self.steps}")
+            elif self.steps == int(prof[1]):
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                logging.info(f"profiler trace stopped @ step {self.steps}")
         batch = shard_batch(batch, self.mesh)
         self.rng, step_rng = jax.random.split(self.rng)
         lr_g = jnp.float32(self.schedulers["generator"].lr)
