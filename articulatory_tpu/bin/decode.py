@@ -44,6 +44,10 @@ def main():
     args = parser.parse_args()
     set_logging(args.verbose)
 
+    from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.config is None:
         dirname = os.path.dirname(args.checkpoint)
         args.config = os.path.join(dirname, "config.yml")

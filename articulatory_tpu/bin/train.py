@@ -221,6 +221,10 @@ def main():
     args = build_parser().parse_args()
     set_logging(args.verbose)
 
+    from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.coordinator_address is not None or "JAX_COORDINATOR_ADDRESS" in os.environ:
         coord = args.coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
         nproc = args.num_processes

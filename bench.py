@@ -33,6 +33,10 @@ AR_INPUT = 512
 
 def main():
     import jax
+
+    from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from articulatory_tpu.models import HiFiGANGenerator
