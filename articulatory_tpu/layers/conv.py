@@ -167,6 +167,7 @@ class Conv1d(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
+            b = b.astype(self.dtype) if b is not None else None
         return conv_ops.conv1d(x, w, b, stride=self.stride, padding=padding,
                                dilation=self.dilation, groups=self.groups)
 
@@ -206,6 +207,7 @@ class ConvTranspose1d(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
+            b = b.astype(self.dtype) if b is not None else None
         return conv_ops.conv_transpose1d(
             x, w, b, stride=self.stride, padding=self.padding,
             output_padding=self.output_padding, dilation=self.dilation)

@@ -43,6 +43,7 @@ class HiFiGANResidualBlock(nn.Module):
     nonlinear_activation: str = "LeakyReLU"
     nonlinear_activation_params: dict = None
     use_weight_norm: bool = True
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -53,12 +54,14 @@ class HiFiGANResidualBlock(nn.Module):
             xt = Conv1d(self.channels, self.kernel_size, dilation=dilation,
                         padding=(self.kernel_size - 1) // 2 * dilation,
                         use_bias=self.use_bias, use_weight_norm=self.use_weight_norm,
+                        dtype=self.compute_dtype,
                         name=f"convs1_{i}")(act(x))
             if self.use_additional_convs:
                 xt = Conv1d(self.channels, self.kernel_size, dilation=1,
                             padding=(self.kernel_size - 1) // 2,
                             use_bias=self.use_bias,
                             use_weight_norm=self.use_weight_norm,
+                            dtype=self.compute_dtype,
                             name=f"convs2_{i}")(act(xt))
             x = xt + x
         return x

@@ -69,6 +69,9 @@ class HiFiGANGenerator(nn.Module):
     num_ph: int | None = None
     ph_emb_size: int = 8
     use_ph_loss: bool = False
+    # compute dtype for the conv stack (e.g. jnp.bfloat16); params stay f32,
+    # output is cast back to f32. None = full f32.
+    compute_dtype: Any = None
     # accepted-and-ignored reference config quirks (e2w_hifigan_car.yaml:42,54)
     final_scale: Any = None
     extra_art: Any = None
@@ -114,9 +117,12 @@ class HiFiGANGenerator(nn.Module):
             ph_feats = Embed(self.num_ph, self.ph_emb_size, name="ph_emb_mat")(ph)
             c = jnp.concatenate([c, ph_feats], axis=-1)
 
+        if self.compute_dtype is not None:
+            c = c.astype(self.compute_dtype)
         c = Conv1d(self.channels, self.kernel_size,
                    padding=(self.kernel_size - 1) // 2, use_bias=True,
-                   use_weight_norm=self.use_weight_norm, name="input_conv")(c)
+                   use_weight_norm=self.use_weight_norm,
+                   dtype=self.compute_dtype, name="input_conv")(c)
         for i in range(len(self.upsample_scales)):
             ch = self.channels // (2 ** (i + 1))
             c = act(c)
@@ -124,6 +130,7 @@ class HiFiGANGenerator(nn.Module):
                                 stride=self.upsample_scales[i], padding=pads[i],
                                 output_padding=out_pads[i],
                                 use_weight_norm=self.use_weight_norm,
+                                dtype=self.compute_dtype,
                                 name=f"upsample_{i}")(c)
             cs = 0.0
             for j in range(num_blocks):
@@ -135,6 +142,7 @@ class HiFiGANGenerator(nn.Module):
                     nonlinear_activation_params=(self.nonlinear_activation_params
                                                  or {"negative_slope": 0.1}),
                     use_weight_norm=self.use_weight_norm,
+                    compute_dtype=self.compute_dtype,
                     name=f"block_{i}_{j}")(c)
             c = cs / num_blocks
 
@@ -143,9 +151,11 @@ class HiFiGANGenerator(nn.Module):
         out = jnp.where(pre_out >= 0, pre_out, 0.01 * pre_out)
         out = Conv1d(self.out_channels, self.kernel_size,
                      padding=(self.kernel_size - 1) // 2,
-                     use_weight_norm=self.use_weight_norm, name="output_conv")(out)
+                     use_weight_norm=self.use_weight_norm,
+                     dtype=self.compute_dtype, name="output_conv")(out)
         if self.use_tanh:
             out = jnp.tanh(out)
+        out = out.astype(jnp.float32)
 
         if self.use_ph_loss:
             final_scale = int(np.prod(self.upsample_scales))
