@@ -40,6 +40,7 @@ def main():
     parser.add_argument("--outdir", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--config", default=None, type=str)
+    parser.add_argument("--normalize-before", default=False, action="store_true")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
     set_logging(args.verbose)
@@ -111,6 +112,8 @@ def main():
     sr = config["sampling_rate"]
     hop = config["hop_size"]
 
+    do_wsola = bool(config.get("wsola", False))
+    wave_modes = ("default", "a2w", "a2w_pcd", "a2w_mult", "m2w")
     total_rtf = 0.0
     total_time = 0.0
     total_len = 0.0
@@ -121,25 +124,40 @@ def main():
             modality = item[2] if dataset_mode == "a2w_mult" else None
             c = np.asarray(c, np.float32)
             start = time.time()
-            if use_ar:
-                out = ar_loop(model, c, config, modality=modality)
-                out = np.asarray(out)
+            if dataset_mode in wave_modes:
+                if use_ar:
+                    out = ar_loop(model, c, config, do_wsola=do_wsola,
+                                  modality=modality)
+                else:
+                    out = model.inference(
+                        c, normalize_before=args.normalize_before).reshape(-1)
+                elapsed = time.time() - start
+                if do_wsola:
+                    # 50%-overlap chunks: save each chunk + its input window
+                    signals, arts = out
+                    for cyi, cy in enumerate(signals):
+                        write_wav(os.path.join(args.outdir,
+                                               f"{utt_id}_{cyi}_gen.wav"),
+                                  np.asarray(cy), sr)
+                        np.save(os.path.join(args.outdir, f"{utt_id}_{cyi}.npy"),
+                                np.asarray(arts[cyi]))
+                    dur = sum(len(np.asarray(cy)) for cy in signals) / sr
+                else:
+                    wav = np.asarray(out).squeeze()
+                    dur = len(wav) / sr
+                    write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"),
+                              wav, sr)
             else:
-                out = model.inference(c, normalize_before=False)
-                out = np.asarray(out)
-            elapsed = time.time() - start
-            if dataset_mode == "w2a" or (dataset_mode not in
-                                         ("default", "m2w", "a2w") and
-                                         out.ndim == 2 and out.shape[1] > 1):
-                # feature-domain output
+                # feature-domain output (art / w2a / ph2m / ph2a / a2m)
+                if use_ar:
+                    out = ar_loop(model, c, config, do_wsola=do_wsola,
+                                  modality=modality)
+                else:
+                    out = model.inference(c, normalize_before=args.normalize_before)
+                elapsed = time.time() - start
                 dur = len(c) / sr
                 np.save(os.path.join(args.outdir, f"{utt_id}_gen.npy"),
-                        out.astype(np.float32), allow_pickle=False)
-            else:
-                wav = out.squeeze()
-                dur = len(wav) / sr
-                write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"),
-                          wav, sr)
+                        np.asarray(out).astype(np.float32), allow_pickle=False)
             rtf = elapsed / max(dur, 1e-9)
             total_rtf += rtf
             total_time += elapsed

@@ -93,15 +93,13 @@ class Trainer:
         # optional jax.profiler trace window: config `profile_steps: [lo, hi]`
         prof = self.config.get("profile_steps")
         if prof and self.is_host:
-            if self.steps == int(prof[0]):
-                import jax.profiler
+            from jax import profiler as jax_profiler
 
-                jax.profiler.start_trace(os.path.join(self.outdir, "profile"))
+            if self.steps == int(prof[0]):
+                jax_profiler.start_trace(os.path.join(self.outdir, "profile"))
                 logging.info(f"profiler trace started @ step {self.steps}")
             elif self.steps == int(prof[1]):
-                import jax.profiler
-
-                jax.profiler.stop_trace()
+                jax_profiler.stop_trace()
                 logging.info(f"profiler trace stopped @ step {self.steps}")
         batch = shard_batch(batch, self.mesh)
         self.rng, step_rng = jax.random.split(self.rng)
