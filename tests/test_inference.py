@@ -73,6 +73,14 @@ def test_ar_loop_matches_reference(reference, rng):
     assert y_ours.shape == y_ref.shape
     np.testing.assert_allclose(y_ours, y_ref, rtol=1e-3, atol=1e-4)
 
+    # quality-parity statement: MCD between the two frameworks' outputs with
+    # shared weights is far below the 0.1 dB budget (BASELINE.md)
+    from articulatory_tpu.eval.mcd import mel_cepstral_distortion
+
+    mcd = mel_cepstral_distortion(y_ours, y_ref, 16000, fft_size=256,
+                                  hop_size=64)
+    assert mcd < 0.01, f"MCD {mcd} dB vs reference with shared weights"
+
 
 def test_checkpoint_roundtrip(tmp_path):
     import optax
