@@ -297,7 +297,9 @@ def main():
                             num_workers=config.get("num_workers", 0),
                             seed=args.seed, shard_id=shard_id,
                             num_shards=num_shards),
-        "dev": DataLoader(dev_dataset, batch_size=config["batch_size"],
+        "dev": DataLoader(dev_dataset,
+                          batch_size=min(config["batch_size"],
+                                         max(1, len(dev_dataset) // num_shards)),
                           shuffle=True, collate_fn=dev_collater,
                           drop_last=True,
                           num_workers=config.get("num_workers", 0),

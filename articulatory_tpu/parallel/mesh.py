@@ -60,9 +60,12 @@ def batch_sharding(mesh: Mesh, ndim: int, axis_name: str = "data") -> NamedShard
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Shard every array leaf on its leading (batch) axis over the mesh."""
 
+    n = mesh.devices.size
+
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
+        if x.ndim == 0 or x.shape[0] % n != 0:
+            # replicate scalars and indivisible (e.g. remainder eval) batches
             return jax.device_put(x, NamedSharding(mesh, P()))
         return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
 
