@@ -45,16 +45,18 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
             t_tile: int, halo1: int, halo2: int, k: int, k2: int,
             dilation: int, negative_slope: float, seq_len: int):
     """Grid cell (batch b, time-tile j): DMA the halo'd window, compute, store."""
+    i = pl.program_id(0)
     j = pl.program_id(1)
     pad = halo1 + halo2
     c = o_ref.shape[-1]
     win = t_tile + 2 * pad
 
     def body(x_vmem, sem):
-        # x_hbm is the zero-padded input (B, T + 2*pad, C); tile j covers
+        # x_hbm is the full zero-padded input (B, T + 2*pad, C) kept in HBM
+        # (ANY-space blocks must be whole-array); tile (i, j) covers batch i,
         # padded-input range [j*t_tile, j*t_tile + win)
         cp = pltpu.make_async_copy(
-            x_hbm.at[0, pl.ds(j * t_tile, win), :], x_vmem, sem)
+            x_hbm.at[i, pl.ds(j * t_tile, win), :], x_vmem, sem)
         cp.start()
         cp.wait()
 
@@ -99,13 +101,26 @@ def resblock_pair_pallas(x, w1, b1, w2, b2, *, dilation: int,
     """Fused residual pair. x: (B, T, C); w: (K, C, C); b: (C,).
 
     T must be divisible by t_tile (callers pad)."""
-    b, t, c = x.shape
+    b, t, c_orig = x.shape
     k = w1.shape[0]
     k2 = w2.shape[0]
     assert t % t_tile == 0, (t, t_tile)
     halo1 = (k - 1) // 2 * dilation
     halo2 = (k2 - 1) // 2
     pad = halo1 + halo2
+
+    # Mosaic DMA slices must be lane-aligned: pad channels to a multiple of
+    # 128. Zero-padded input channels contribute nothing; padded output
+    # channels are sliced off. MXU cost is unchanged (a <=128-wide matmul
+    # occupies one pass either way).
+    c = -(-c_orig // 128) * 128
+    if c != c_orig:
+        cpad = c - c_orig
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cpad)))
+        w1 = jnp.pad(w1, ((0, 0), (0, cpad), (0, cpad)))
+        w2 = jnp.pad(w2, ((0, 0), (0, cpad), (0, cpad)))
+        b1 = jnp.pad(b1, (0, cpad))
+        b2 = jnp.pad(b2, (0, cpad))
 
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
     n_t = t // t_tile
@@ -118,7 +133,7 @@ def resblock_pair_pallas(x, w1, b1, w2, b2, *, dilation: int,
         grid=(b, n_t),
         in_specs=[
             # stays in HBM; windows are DMA'd manually (halo overlap)
-            pl.BlockSpec((1, t + 2 * pad, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((b, t + 2 * pad, c), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.ANY),
             pl.BlockSpec((k, c, c), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -131,4 +146,4 @@ def resblock_pair_pallas(x, w1, b1, w2, b2, *, dilation: int,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xp, w1, b1, w2, b2)
-    return out
+    return out[..., :c_orig]
