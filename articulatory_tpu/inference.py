@@ -65,6 +65,14 @@ class LoadedModel:
     def __call__(self, c: jax.Array, ar: jax.Array | None = None) -> jax.Array:
         return self._jit_forward(self.params, c, ar)
 
+    def remove_weight_norm(self) -> None:
+        """Fold (g, v) weight-norm params (reference API parity; outputs are
+        numerically identical — see utils/weight_norm.py)."""
+        from articulatory_tpu.utils.weight_norm import fold_weight_norm
+
+        self.params = fold_weight_norm(jax.device_get(self.params))
+        self.__dict__.pop("_jit_forward", None)  # drop cached jit closure
+
     def inference(self, c: np.ndarray, normalize_before: bool = False
                   ) -> np.ndarray:
         """(T, in_feats) -> (T * prod(scales), out_channels), full utterance."""

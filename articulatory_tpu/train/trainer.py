@@ -145,6 +145,13 @@ class Trainer:
                 steps_per_sec = self._train_count / max(elapsed, 1e-9)
                 self.writer.add_scalar("train/steps_per_sec", steps_per_sec,
                                        self.steps)
+                samples_per_step = (self.config.get("batch_size", 1)
+                                    * self.config.get("batch_max_steps", 0))
+                if samples_per_step:
+                    per_chip = (steps_per_sec * samples_per_step
+                                / max(1, len(self.mesh.devices.flatten())))
+                    self.writer.add_scalar("train/samples_per_sec_per_chip",
+                                           per_chip, self.steps)
                 self.writer.add_scalar("train/lr_generator",
                                        self.schedulers["generator"].lr, self.steps)
             self.total_train_loss = defaultdict(float)

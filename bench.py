@@ -69,11 +69,13 @@ def main():
         out = model.apply({"params": params}, cin, ar=prev)
         return out, out[:, -AR_INPUT:, :]
 
+    chunk_list = [feats[i] for i in range(n_chunks)]  # device-resident chunks
+
     def synthesize(params, chunks):
-        prev = jnp.zeros((chunks.shape[1], AR_INPUT, 1), jnp.float32)
+        prev = jnp.zeros((BATCH, AR_INPUT, 1), jnp.float32)
         total = 0
-        for i in range(chunks.shape[0]):
-            out, prev = chunk_fwd(params, chunks[i], prev)
+        for cin in chunk_list:
+            out, prev = chunk_fwd(params, cin, prev)
             total += out.size
         return total, jnp.sum(out)
 
