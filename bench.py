@@ -24,7 +24,7 @@ BASELINE_SAMPLES_PER_SEC = 50 * 16000
 
 # workload: batch of utterances, each N seconds of 200 Hz features
 BATCH = 8
-SECONDS_PER_UTT = 10.0
+SECONDS_PER_UTT = 30.0
 FRAME_RATE = 200
 HOP = 80
 CHUNK_FRAMES = 100   # batch_max_steps 8000 / hop 80
@@ -83,7 +83,7 @@ def main():
     samples_per_iter, chk = synthesize(params, feats)
     float(chk)
 
-    n_iters = 5
+    n_iters = 3
     start = time.perf_counter()
     for i in range(n_iters):
         _, chk = synthesize(params, feats)
