@@ -153,7 +153,7 @@ def _load_generator_params(checkpoint: str, generator_key: str,
             pass
         # torch pickle path: convert layouts
         from articulatory_tpu.utils.torch_import import (
-            import_hifigan_generator,
+            GENERATOR_IMPORTERS,
             load_torch_checkpoint,
         )
 
@@ -161,11 +161,10 @@ def _load_generator_params(checkpoint: str, generator_key: str,
         sd = ckpt["model"][generator_key]
         if isinstance(sd, tuple):  # reference generator2 save quirk (train.py:165)
             sd = sd[0]
-        if gen_type == "HiFiGANGenerator":
-            return import_hifigan_generator(sd, gen_params), {}
-        raise NotImplementedError(
-            f"torch checkpoint import is implemented for HiFiGANGenerator; "
-            f"got {gen_type}")
+        if gen_type not in GENERATOR_IMPORTERS:
+            raise NotImplementedError(
+                f"torch checkpoint import not implemented for {gen_type}")
+        return GENERATOR_IMPORTERS[gen_type](sd, gen_params)
     from articulatory_tpu.utils.checkpoint import load_checkpoint
 
     payload = load_checkpoint(checkpoint)

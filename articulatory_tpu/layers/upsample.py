@@ -82,6 +82,7 @@ class ConvInUpsampleNetwork(nn.Module):
     aux_channels: int = 80
     aux_context_window: int = 0
     use_causal_conv: bool = False
+    use_weight_norm: bool = False
 
     @nn.compact
     def __call__(self, c: Array) -> Array:
@@ -89,6 +90,7 @@ class ConvInUpsampleNetwork(nn.Module):
         kernel_size = (self.aux_context_window + 1 if self.use_causal_conv
                        else 2 * self.aux_context_window + 1)
         c_ = Conv1d(self.aux_channels, kernel_size, use_bias=False,
+                    use_weight_norm=self.use_weight_norm,
                     kernel_init="kaiming_normal_relu", name="conv_in")(c)
         c = c_[:, : -self.aux_context_window, :] if causal else c_
         return UpsampleNetwork(

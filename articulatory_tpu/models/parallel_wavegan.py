@@ -69,6 +69,7 @@ class ParallelWaveGANGenerator(nn.Module):
                 c = ConvInUpsampleNetwork(
                     aux_channels=self.aux_channels,
                     aux_context_window=self.aux_context_window,
+                    use_weight_norm=self.use_weight_norm,
                     **params, name="upsample_net")(c)
             elif self.upsample_net == "UpsampleNetwork":
                 c = UpsampleNetwork(**params, name="upsample_net")(c)
