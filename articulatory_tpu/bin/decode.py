@@ -122,7 +122,11 @@ def main():
         for idx, item in enumerate(pbar, 1):
             utt_id, c = item[0], item[1]
             modality = item[2] if dataset_mode == "a2w_mult" else None
-            c = np.asarray(c, np.float32)
+            if dataset_mode in ("ph2a", "ph2m"):
+                # phoneme-id inputs feed an embedding (reference decode.py:346)
+                c = np.asarray(c, np.int32)
+            else:
+                c = np.asarray(c, np.float32)
             start = time.time()
             if dataset_mode in wave_modes:
                 if use_ar:

@@ -31,6 +31,15 @@ from articulatory_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from articulatory_tpu.utils.checkpoint import save_checkpoint
 from articulatory_tpu.utils.io import write_wav
 
+# keys the jitted step consumes; the collater's extra aliases (audio/art
+# duplicate x/y) would otherwise be transferred to device every step
+_STEP_BATCH_KEYS = ("x", "y", "ar", "ar2", "spk_id", "ph", "mel",
+                    "pitch", "periodicity", "inter_target")
+
+
+def _step_batch(batch: dict) -> dict:
+    return {k: v for k, v in batch.items() if k in _STEP_BATCH_KEYS}
+
 
 class Trainer:
     def __init__(self, *, config: dict, state, train_step, eval_step,
@@ -101,7 +110,7 @@ class Trainer:
             elif self.steps == int(prof[1]):
                 jax_profiler.stop_trace()
                 logging.info(f"profiler trace stopped @ step {self.steps}")
-        batch = shard_batch(batch, self.mesh)
+        batch = shard_batch(_step_batch(batch), self.mesh)
         self.rng, step_rng = jax.random.split(self.rng)
         lr_g = jnp.float32(self.schedulers["generator"].lr)
         lr_d = jnp.float32(self.schedulers["discriminator"].lr)
@@ -176,7 +185,7 @@ class Trainer:
         first_outputs = None
         first_batch = None
         for batch in self.data_loader.get("dev", []):
-            sharded = shard_batch(batch, self.mesh)
+            sharded = shard_batch(_step_batch(batch), self.mesh)
             self.rng, eval_rng = jax.random.split(self.rng)
             metrics, y_ = self.eval_step(self.state, sharded, eval_rng)
             for k, v in metrics.items():
