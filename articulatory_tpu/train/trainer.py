@@ -77,6 +77,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ run
     def run(self):
+        self._install_preemption_handler()
         try:
             while not self.finish_train:
                 self._train_epoch()
@@ -84,6 +85,22 @@ class Trainer:
             self.save_checkpoint(
                 os.path.join(self.outdir, f"checkpoint-{self.steps}steps.ckpt"))
             logging.info(f"Successfully saved checkpoint @ {self.steps} steps.")
+
+    def _install_preemption_handler(self):
+        """SIGTERM (TPU-VM preemption notice) -> finish the current step,
+        checkpoint, and exit cleanly so --resume can pick up. The reference
+        only has the try/finally save (train.py:1841-1847); preemptible TPU
+        fleets need the signal path."""
+        import signal
+
+        def _on_sigterm(signum, frame):
+            logging.warning("SIGTERM received: checkpointing and stopping.")
+            self.finish_train = True
+
+        try:
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            pass  # not in main thread (e.g. tests)
 
     def _train_epoch(self):
         for batch in self.data_loader["train"]:
