@@ -82,6 +82,43 @@ def test_ar_loop_matches_reference(reference, rng):
     assert mcd < 0.01, f"MCD {mcd} dB vs reference with shared weights"
 
 
+@requires_reference
+def test_wsola_ar_loop_matches_reference(reference, rng):
+    """50%-overlap WSOLA decode path parity (reference decode.py:84-100)."""
+    import torch
+    from articulatory.bin.decode import ar_loop as ref_ar_loop
+    from articulatory.models import HiFiGANGenerator as RefGen
+
+    from articulatory_tpu.inference import ar_loop
+    from articulatory_tpu.models.hifigan import HiFiGANGenerator
+
+    cfg = dict(CAR_GEN_CFG)
+    torch.manual_seed(0)
+    ref = RefGen(**cfg)
+    ref.eval()
+    from articulatory_tpu.utils.torch_import import import_hifigan_generator
+
+    params = import_hifigan_generator(ref.state_dict(), cfg)
+    ours = HiFiGANGenerator(**{**cfg,
+                               "upsample_scales": (5, 4, 2, 2),
+                               "upsample_kernel_sizes": (10, 8, 4, 4),
+                               "resblock_kernel_sizes": (3,),
+                               "resblock_dilations": ((1, 3),)})
+
+    config = _car_config()
+    config["generator_params"]["extra_art"] = False
+    x = rng.standard_normal((30, 13)).astype(np.float32)
+    with torch.no_grad():
+        outs_ref, ins_ref = ref_ar_loop(ref, torch.from_numpy(x), config,
+                                        do_wsola=True)
+    shim = _JaxModelShim(ours, params)
+    outs, ins = ar_loop(shim, x, config, do_wsola=True)
+    assert len(outs) == len(outs_ref)
+    for a, b in zip(outs, outs_ref):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import optax
 
