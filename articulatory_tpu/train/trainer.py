@@ -261,6 +261,13 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, path: str):
-        if self.is_host:
+        backend = self.config.get("checkpoint_backend", "msgpack")
+        if backend == "orbax":
+            # orbax writes per-host shards itself; every process participates
+            from articulatory_tpu.utils.checkpoint import save_checkpoint_orbax
+
+            save_checkpoint_orbax(path, self.state, schedulers=self.schedulers,
+                                  epochs=self.epochs)
+        elif self.is_host:
             save_checkpoint(path, jax.device_get(self.state),
                             schedulers=self.schedulers, epochs=self.epochs)

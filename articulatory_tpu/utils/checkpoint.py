@@ -52,8 +52,56 @@ def save_checkpoint(path: str, state, schedulers: dict | None = None,
 
 
 def load_checkpoint(path: str) -> dict:
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         return flax.serialization.msgpack_restore(f.read())
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (multi-host/sharded-array checkpointing for large fleets;
+# saves each host's shards without gathering to host 0)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(path: str, state, schedulers: dict | None = None,
+                          epochs: int = 0) -> None:
+    """Save a GANTrainState as an orbax directory checkpoint."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "model": {
+            "generator": state.params_g,
+            "discriminator": state.params_d,
+        },
+        "optimizer": {
+            "generator": flax.serialization.to_state_dict(state.opt_g),
+            "discriminator": flax.serialization.to_state_dict(state.opt_d),
+        },
+        "mutables": {"generator": state.mutables_g},
+        "meta": {
+            "steps": int(state.steps),
+            "epochs": int(epochs),
+            "scheduler": {k: v.state_dict()
+                          for k, v in (schedulers or {}).items()},
+        },
+    }
+    if state.params_g2 is not None:
+        payload["model"]["generator2"] = state.params_g2
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_checkpoint_orbax(path: str) -> dict:
+    """Load an orbax directory checkpoint into the msgpack payload layout."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path))
+    meta = payload.pop("meta", {})
+    payload["steps"] = int(meta.get("steps", 0))
+    payload["epochs"] = int(meta.get("epochs", 0))
+    payload["scheduler"] = meta.get("scheduler", {})
+    return payload
 
 
 def restore_state(state, payload: dict, schedulers: dict | None = None,
