@@ -164,6 +164,23 @@ def build_datasets(args, config):
         return train_dataset, dev_dataset, mk_collater(), mk_collater()
 
 
+def _cpu_init_context():
+    """Initialize params on the CPU backend when the default is a TPU.
+
+    Remote-TPU compilation of the init graphs costs minutes per run and is
+    pure waste — init math is tiny. Requires 'cpu' in jax_platforms (main()
+    appends it); params land on CPU and are placed by replicate() later.
+    """
+    import contextlib
+
+    try:
+        if jax.default_backend() != "cpu":
+            return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        pass
+    return contextlib.nullcontext()
+
+
 def init_models(config, batch, seed=0):
     """Build + init generator(s)/discriminator from one example batch."""
     gen = build_model(config["generator_type"], config["generator_params"])
@@ -192,34 +209,43 @@ def init_models(config, batch, seed=0):
               if k in sig.parameters and v is not None}
         return model.init(rngs_g, *args_tuple, **kw)
 
-    vg = init_model(gen, x, spk_id=spk_id, ar=ar, ph=ph)
-    params_g = vg["params"]
-    mutables_g = {k: v for k, v in vg.items() if k != "params"}
+    with _cpu_init_context():
+        vg = init_model(gen, x, spk_id=spk_id, ar=ar, ph=ph)
+        params_g = vg["params"]
+        mutables_g = {k: v for k, v in vg.items() if k != "params"}
 
-    params_g2 = None
-    if gen2 is not None:
-        y0 = fwd(vg, x, spk_id=spk_id, ar=ar, ph=ph,
-                 rngs={"noise": k_n, "dropout": k_n})
-        if isinstance(y0, tuple):
-            y0 = y0[0]
-        ar2 = jnp.asarray(batch["ar2"]) if "ar2" in batch else None
-        vg2 = init_model(gen2, (y0,), spk_id=spk_id, ar=ar2, ph=ph)
-        params_g2 = vg2["params"]
+        params_g2 = None
+        if gen2 is not None:
+            y0 = fwd(vg, x, spk_id=spk_id, ar=ar, ph=ph,
+                     rngs={"noise": k_n, "dropout": k_n})
+            if isinstance(y0, tuple):
+                y0 = y0[0]
+            ar2 = jnp.asarray(batch["ar2"]) if "ar2" in batch else None
+            vg2 = init_model(gen2, (y0,), spk_id=spk_id, ar=ar2, ph=ph)
+            params_g2 = vg2["params"]
 
-    # discriminator init input mirrors the train-time concat
-    y = jnp.asarray(batch["y"])
-    if config["generator_params"].get("use_ar", False):
-        past = batch.get("ar2", batch.get("ar"))
-        disc_in = jnp.concatenate([jnp.asarray(past), y], axis=1)
-    else:
-        disc_in = y
-    vd = disc.init({"params": k_d, "window": k_w}, disc_in)
+        # discriminator init input mirrors the train-time concat
+        y = jnp.asarray(batch["y"])
+        if config["generator_params"].get("use_ar", False):
+            past = batch.get("ar2", batch.get("ar"))
+            disc_in = jnp.concatenate([jnp.asarray(past), y], axis=1)
+        else:
+            disc_in = y
+        vd = disc.init({"params": k_d, "window": k_w}, disc_in)
     return gen, gen2, disc, params_g, params_g2, mutables_g, vd["params"]
 
 
 def main():
     args = build_parser().parse_args()
     set_logging(args.verbose)
+
+    # make a CPU backend available for cheap init compiles alongside the TPU
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "cpu" not in plat.split(","):
+        try:
+            jax.config.update("jax_platforms", plat + ",cpu")
+        except Exception:
+            pass
 
     from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
 
