@@ -41,6 +41,13 @@ def main():
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--config", default=None, type=str)
     parser.add_argument("--normalize-before", default=False, action="store_true")
+    parser.add_argument("--bucket-frames", default=64, type=int,
+                        help="pad full-utterance inference lengths to this "
+                             "multiple to bound XLA compile count (0 = exact)")
+    parser.add_argument("--decode-batch-size", default=1, type=int,
+                        help="batch N utterances through the AR loop "
+                             "(throughput mode for a2w; 1 = reference-exact "
+                             "sequential decode)")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
     set_logging(args.verbose)
@@ -114,6 +121,30 @@ def main():
 
     do_wsola = bool(config.get("wsola", False))
     wave_modes = ("default", "a2w", "a2w_pcd", "a2w_mult", "m2w")
+
+    if (args.decode_batch_size > 1 and use_ar and not do_wsola
+            and dataset_mode in ("a2w", "default", "m2w")):
+        from articulatory_tpu.inference import ar_loop_batched
+
+        items = [(it[0], np.asarray(it[1], np.float32)) for it in dataset]
+        total_time = total_len = 0.0
+        for i in range(0, len(items), args.decode_batch_size):
+            group = items[i:i + args.decode_batch_size]
+            start = time.time()
+            wavs = ar_loop_batched(model, [c for _, c in group], config)
+            elapsed = time.time() - start
+            for (utt_id, _), wav in zip(group, wavs):
+                write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"),
+                          wav, sr)
+                total_len += len(wav) / sr
+            total_time += elapsed
+        logging.info(
+            f"Finished batched generation of {len(items)} utterances "
+            f"(batch {args.decode_batch_size}); throughput = "
+            f"{total_len / max(total_time, 1e-9):.1f}x realtime "
+            f"(effective RTF {total_time / max(total_len, 1e-9):.6f}).")
+        return
+
     total_rtf = 0.0
     total_time = 0.0
     total_len = 0.0
@@ -134,7 +165,8 @@ def main():
                                   modality=modality)
                 else:
                     out = model.inference(
-                        c, normalize_before=args.normalize_before).reshape(-1)
+                        c, normalize_before=args.normalize_before,
+                        bucket_frames=args.bucket_frames or None).reshape(-1)
                 elapsed = time.time() - start
                 if do_wsola:
                     # 50%-overlap chunks: save each chunk + its input window
@@ -157,7 +189,8 @@ def main():
                     out = ar_loop(model, c, config, do_wsola=do_wsola,
                                   modality=modality)
                 else:
-                    out = model.inference(c, normalize_before=args.normalize_before)
+                    out = model.inference(c, normalize_before=args.normalize_before,
+                                          bucket_frames=args.bucket_frames or None)
                 elapsed = time.time() - start
                 dur = len(c) / sr
                 np.save(os.path.join(args.outdir, f"{utt_id}_gen.npy"),

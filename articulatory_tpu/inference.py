@@ -73,16 +73,35 @@ class LoadedModel:
         self.params = fold_weight_norm(jax.device_get(self.params))
         self.__dict__.pop("_jit_forward", None)  # drop cached jit closure
 
-    def inference(self, c: np.ndarray, normalize_before: bool = False
-                  ) -> np.ndarray:
-        """(T, in_feats) -> (T * prod(scales), out_channels), full utterance."""
-        c = jnp.asarray(c, jnp.float32)
+    def inference(self, c: np.ndarray, normalize_before: bool = False,
+                  bucket_frames: int | None = None) -> np.ndarray:
+        """(T, in_feats) -> (T * prod(scales), out_channels), full utterance.
+
+        ``bucket_frames``: pad T up to the next multiple before the forward
+        so arbitrary utterance lengths reuse a small set of compiled
+        executables (each unique length otherwise costs a fresh XLA compile).
+        The output is trimmed back to the exact length; only the last
+        receptive-field window can differ marginally from exact-length
+        inference.
+        """
+        c = jnp.asarray(c)
+        if not jnp.issubdtype(c.dtype, jnp.integer):
+            c = c.astype(jnp.float32)  # int inputs = phoneme ids (embeddings)
         if normalize_before:
             c = self.normalize(c)
+        t = c.shape[0]
+        if bucket_frames:
+            pad = (-t) % bucket_frames
+            if pad:
+                c = jnp.pad(c, [(0, pad)] + [(0, 0)] * (c.ndim - 1))
         out = self(c[None])
         if self.pqmf is not None:
             out = self.pqmf.synthesis(out)
-        return np.asarray(out[0])
+        out = np.asarray(out[0])
+        if bucket_frames:
+            scale = out.shape[0] // c.shape[0]
+            out = out[: t * scale]
+        return out
 
 
 def _load_stats(stats: str) -> tuple[np.ndarray, np.ndarray]:
@@ -260,6 +279,48 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
                 prev = signal[:, lo:hi, :]
                 assert prev.shape[1] == past_out_len
         return outs, ins
+
+
+def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict
+                    ) -> list[np.ndarray]:
+    """Throughput-mode chunked AR decode over a batch of utterances (a2w).
+
+    Each utterance keeps its own AR carry; features are padded to a common
+    chunk count and outputs trimmed to each utterance's true length. Batched
+    decoding is how the 50x-per-chip realtime target is exceeded by orders
+    of magnitude (see bench.py); per-utterance outputs can differ from the
+    sequential ar_loop only in the final partial chunk's receptive-field
+    tail (zero padding vs a shorter conv input).
+    """
+    gp = config["generator_params"]
+    hop = config["hop_size"]
+    audio_chunk_len = config["batch_max_steps"]
+    in_chunk_len = audio_chunk_len // hop
+    past_out_len = gp.get("ar_input", 512)
+    out_channels = gp.get("out_channels", 1)
+    assert past_out_len <= audio_chunk_len
+
+    b = len(xs)
+    feat_dim = xs[0].shape[1] if xs[0].ndim == 2 else 1
+    lengths = [len(x) for x in xs]
+    n_chunks = max(-(-t // in_chunk_len) for t in lengths)
+    batch = np.zeros((b, n_chunks * in_chunk_len, feat_dim), np.float32)
+    for i, x in enumerate(xs):
+        x = np.asarray(x, np.float32)
+        if x.ndim == 1:
+            x = x[:, None]
+        batch[i, : len(x)] = x
+
+    prev = jnp.zeros((b, past_out_len, out_channels), jnp.float32)
+    outs = []
+    for ci in range(n_chunks):
+        cin = jnp.asarray(batch[:, ci * in_chunk_len:(ci + 1) * in_chunk_len])
+        cout = model(cin, ar=prev)
+        outs.append(cout)
+        prev = cout[:, -past_out_len:, :]
+    wav = np.concatenate([np.asarray(o) for o in outs], axis=1)
+    return [wav[i, : lengths[i] * hop, 0] if out_channels == 1
+            else wav[i, : lengths[i] * hop] for i in range(b)]
 
 
 def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict) -> np.ndarray:

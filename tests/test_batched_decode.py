@@ -1,0 +1,51 @@
+"""Batched AR decode: per-utterance outputs match the sequential ar_loop on
+all complete chunks."""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from articulatory_tpu.inference import ar_loop, ar_loop_batched
+from articulatory_tpu.models import HiFiGANGenerator
+
+
+class _Shim:
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        self.mutables = {}
+
+    @functools.cached_property
+    def _jit(self):
+        return jax.jit(lambda p, c, ar: self.model.apply({"params": p}, c, ar=ar))
+
+    def __call__(self, c, ar=None):
+        return self._jit(self.params, c, ar)
+
+
+def test_batched_matches_sequential(rng):
+    model = HiFiGANGenerator(
+        in_channels=13 + 8, channels=16, upsample_scales=(5, 4, 2, 2),
+        upsample_kernel_sizes=(10, 8, 4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), use_ar=True, ar_input=64, ar_hidden=8,
+        ar_output=8)
+    c0 = jnp.zeros((1, 10, 13))
+    v = model.init(jax.random.PRNGKey(0), c0, ar=jnp.zeros((1, 64, 1)))
+    shim = _Shim(model, v["params"])
+
+    config = {"dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+              "generator_params": {"out_channels": 1, "use_ar": True,
+                                   "ar_input": 64}}
+    # lengths that are whole numbers of 10-frame chunks (exact-match regime)
+    xs = [rng.standard_normal((30, 13)).astype(np.float32),
+          rng.standard_normal((20, 13)).astype(np.float32),
+          rng.standard_normal((30, 13)).astype(np.float32)]
+
+    batched = ar_loop_batched(shim, xs, config)
+    for x, yb in zip(xs, batched):
+        y_seq = np.asarray(ar_loop(shim, x, config))
+        assert yb.shape == y_seq.shape
+        np.testing.assert_allclose(yb, y_seq, rtol=1e-4, atol=1e-5)
