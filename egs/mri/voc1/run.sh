@@ -25,21 +25,12 @@ if [ -z "${expdir}" ]; then
 fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
-    echo "Stage 0: Data preparation"
-    # MNGU0: parse .ema -> npy + splits, extract pitch, combine pitch+EMA
-    python3 local/mk_ema_feats.py
-    python3 local/pitch.py downloads/emadata/cin_us_mngu0 --hop 240
-    python3 local/combine_feats.py downloads/emadata/cin_us_mngu0 \
-        --feats pitch actions -o fnema
-    for name in mngu0_train mngu0_val mngu0_test; do
-        mkdir -p "data/${name}_fnema"
-        cp "data/${name}"/wav.scp "data/${name}_fnema/wav.scp"
-        cp "data/${name}"/utt2spk "data/${name}_fnema/utt2spk" 2>/dev/null || true
-        cp "data/${name}"/spk2utt "data/${name}_fnema/spk2utt" 2>/dev/null || true
-        awk -v d="downloads/emadata/cin_us_mngu0/fnema" \
-            '{printf "%s %s/%s.npy\n", $1, d, $1}' \
-            "data/${name}/feats.scp" > "data/${name}_fnema/feats.scp"
-    done
+    echo "Stage 0: Data preparation (MRI corpus)"
+    # split wavs into train/dev/eval sets (feats.scp for the MRI track
+    # features must be provided per set, as in the reference recipe)
+    ./local/data_prep.sh --fs 20000 \
+        --train_set "${train_set}" --dev_set "${dev_set}" \
+        --eval_set "${eval_set}" downloads mri_napa data
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
