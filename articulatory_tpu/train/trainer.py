@@ -86,6 +86,19 @@ class Trainer:
                 os.path.join(self.outdir, f"checkpoint-{self.steps}steps.ckpt"))
             logging.info(f"Successfully saved checkpoint @ {self.steps} steps.")
 
+    @property
+    def _pbar(self):
+        if not hasattr(self, "_pbar_obj"):
+            if self.is_host:
+                from tqdm import tqdm
+
+                self._pbar_obj = tqdm(initial=self.steps,
+                                      total=self.config["train_max_steps"],
+                                      desc="[train]")
+            else:
+                self._pbar_obj = None
+        return self._pbar_obj
+
     def _install_preemption_handler(self):
         """SIGTERM (TPU-VM preemption notice) -> finish the current step,
         checkpoint, and exit cleanly so --resume can pick up. The reference
@@ -151,6 +164,8 @@ class Trainer:
             self.schedulers["discriminator"].step(metric)
 
         self.steps += 1
+        if self._pbar is not None:
+            self._pbar.update(1)
         self._check_train_finish()
 
     # ------------------------------------------------------------ intervals
