@@ -176,6 +176,19 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
     has_gen2 = gen2 is not None
     batch_max_steps = int(config.get("batch_max_steps", 0))
 
+    use_remat = bool(config.get("use_remat", False))
+
+    @jax.checkpoint
+    def _remat_forward(params_g, x, spk_id, ar, ph, rng):
+        """Rematerialized generator forward (config `use_remat`): activations
+        are dropped after the forward and recomputed during the backward,
+        trading ~1 extra generator forward for the upsampled feature maps'
+        memory. Only used for mutable-free generators."""
+        rngs = {"dropout": jax.random.fold_in(rng, 0),
+                "noise": jax.random.fold_in(rng, 1)}
+        return gen_fwd({"params": params_g}, x, spk_id=spk_id, ar=ar, ph=ph,
+                       rngs=rngs, train=True)
+
     def generate(params_g, params_g2, mutables_g, batch, rng, train=True,
                  mutable=True):
         """Full (cascade-aware) generator forward. Returns y_, ph_, new_mutables."""
@@ -190,8 +203,11 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
         # batch_stats must be opened whenever the model runs in train mode
         # (BatchNorm writes); the caller decides whether to keep the update
         has_mutables = bool(mutables_g)
-        out = gen_fwd(variables, x, spk_id=spk_id, ar=ar, ph=ph, rngs=rngs,
-                      train=train, mutable=has_mutables and train)
+        if use_remat and not has_mutables and train:
+            out = _remat_forward(params_g, x, spk_id, ar, ph, rng)
+        else:
+            out = gen_fwd(variables, x, spk_id=spk_id, ar=ar, ph=ph, rngs=rngs,
+                          train=train, mutable=has_mutables and train)
         new_mutables = mutables_g
         if has_mutables and train:
             out, updated = out
