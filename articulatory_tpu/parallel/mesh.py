@@ -58,12 +58,27 @@ def batch_sharding(mesh: Mesh, ndim: int, axis_name: str = "data") -> NamedShard
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Shard every array leaf on its leading (batch) axis over the mesh."""
+    """Shard every array leaf on its leading (batch) axis over the mesh.
 
+    Single-process: a plain device_put with the batch sharding. Multi-host:
+    each process passes its *local* batch (its shard of the index space, as
+    produced by the sharded DataLoader) and the leaves are assembled into
+    global arrays of size ``local_batch * process_count`` — the multi-host
+    analog of DistributedSampler's per-rank batches (reference
+    train.py:1609-1615).
+    """
     n = mesh.devices.size
+    nproc = jax.process_count()
 
     def put(x):
         x = np.asarray(x)
+        if nproc > 1:
+            if x.ndim == 0:
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P()), x)
+            global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                batch_sharding(mesh, x.ndim, axis_name), x, global_shape)
         if x.ndim == 0 or x.shape[0] % n != 0:
             # replicate scalars and indivisible (e.g. remainder eval) batches
             return jax.device_put(x, NamedSharding(mesh, P()))
@@ -73,6 +88,15 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-host: every process must hold the same host values (deterministic
+    init or a loaded checkpoint); assembly goes through
+    make_array_from_process_local_data.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
