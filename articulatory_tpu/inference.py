@@ -239,7 +239,8 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
         if w2a and len(ins[-1]) < config["hop_size"]:
             ins = ins[:-1]
         prev = jnp.zeros((1, past_out_len, out_channels), jnp.float32)
-        outs = []
+        outs = []  # device-resident; one host sync at the end keeps the
+        # chunk pipeline full instead of a transfer round-trip per chunk
         for cin in ins:
             if modality is not None:
                 from articulatory_tpu.ops.interp import interpolate_linear_scale
@@ -249,18 +250,18 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
                 cin_list = [None] * n_modalities
                 cin_list[modality] = interp
                 cout = model(cin_list, ar=prev)
-                outs.append(np.asarray(cout[0]))
+                outs.append(cout[0])
                 if past_out_len <= audio_chunk_len:
                     prev = cout[:, -past_out_len:, :]
                 continue
             cout = model(jnp.asarray(cin)[None], ar=prev)  # (1, T_out, C_out)
-            outs.append(np.asarray(cout[0]))
+            outs.append(cout[0])
             if past_out_len <= audio_chunk_len:
                 prev = cout[:, -past_out_len:, :]
             else:
                 prev = jnp.concatenate(
                     [prev[:, len(cin) if w2a else cout.shape[1]:, :], cout], axis=1)
-        out = np.concatenate(outs, axis=0)  # (T_out, C)
+        out = np.concatenate([np.asarray(o) for o in outs], axis=0)  # (T_out, C)
         return out if w2a else out[:, 0] if out.shape[1] == 1 else out
     else:
         extra_art = config[params_key].get("extra_art", False)

@@ -378,6 +378,56 @@ GENERATOR_IMPORTERS = {
 }
 
 
+def _import_melgan_discriminator(sd: _SD, prefix: str, config: Mapping[str, Any]
+                                 ) -> dict:
+    """Single MelGANDiscriminator (layers Sequential layout):
+    [pad, conv, act] first; [conv, act] downsamples + penultimate; plain last."""
+    n_down = len(config.get("downsample_scales", (4, 4, 4, 4)))
+    disc: dict[str, Any] = {"layer_0": sd.conv1d(f"{prefix}.layers.0.1")}
+    for k in range(1, n_down + 2):
+        disc[f"layer_{k}"] = sd.conv1d(f"{prefix}.layers.{k}.0")
+    disc[f"layer_{n_down + 2}"] = sd.conv1d(f"{prefix}.layers.{n_down + 2}")
+    return disc
+
+
+def import_melgan_msd(state_dict: Mapping[str, Any], config: Mapping[str, Any]
+                      ) -> dict:
+    """Map a reference MelGANMultiScaleDiscriminator state dict."""
+    sd = _SD(state_dict)
+    return {f"disc_{i}": _import_melgan_discriminator(
+        sd, f"discriminators.{i}", config)
+        for i in range(config.get("scales", 3))}
+
+
+def import_style_melgan_discriminator(state_dict: Mapping[str, Any],
+                                      config: Mapping[str, Any]) -> dict:
+    """Map a reference StyleMelGANDiscriminator state dict (PQMF filters are
+    deterministic buffers and rebuilt on our side)."""
+    sd = _SD(state_dict)
+    d_params = config.get("discriminator_params", {})
+    return {f"disc_{i}": _import_melgan_discriminator(
+        sd, f"discriminators.{i}", d_params)
+        for i in range(len(config.get("pqmf_params", ((1,),) * 4)))}
+
+
+def import_pwg_discriminator(state_dict: Mapping[str, Any],
+                             config: Mapping[str, Any]) -> dict:
+    """Map a reference ParallelWaveGANDiscriminator (flat conv+act Sequential)."""
+    sd = _SD(state_dict)
+    layers = config.get("layers", 10)
+    return {f"conv_{i}": sd.conv1d(f"conv_layers.{2 * i}")
+            for i in range(layers)}
+
+
+DISCRIMINATOR_IMPORTERS = {
+    "HiFiGANMultiScaleMultiPeriodDiscriminator":
+        lambda sd, cfg: import_hifigan_msmpd(sd, cfg),
+    "MelGANMultiScaleDiscriminator": import_melgan_msd,
+    "StyleMelGANDiscriminator": import_style_melgan_discriminator,
+    "ParallelWaveGANDiscriminator": import_pwg_discriminator,
+}
+
+
 def import_hifigan_msmpd(state_dict: Mapping[str, Any], config: Mapping[str, Any]
                          ) -> dict:
     """Map a reference HiFiGANMultiScaleMultiPeriodDiscriminator state dict."""
