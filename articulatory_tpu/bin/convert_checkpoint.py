@@ -37,34 +37,36 @@ def main():
 
     from articulatory_tpu.config import fix_generator_params
     from articulatory_tpu.utils.torch_import import (
-        import_hifigan_generator,
-        import_hifigan_msmpd,
+        GENERATOR_IMPORTERS,
         load_torch_checkpoint,
     )
 
     ckpt = load_torch_checkpoint(args.checkpoint)
     gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
     gen_params = fix_generator_params(config["generator_params"])
-    if gen_type != "HiFiGANGenerator":
-        raise NotImplementedError(
-            f"conversion implemented for HiFiGANGenerator (got {gen_type})")
-    params_g = import_hifigan_generator(ckpt["model"]["generator"], gen_params)
+    if gen_type not in GENERATOR_IMPORTERS:
+        raise NotImplementedError(f"no importer for generator {gen_type}")
+    params_g, mutables_g = GENERATOR_IMPORTERS[gen_type](
+        ckpt["model"]["generator"], gen_params)
 
     payload = {
         "model": {"generator": params_g},
         "optimizer": {},
-        "mutables": {"generator": {}},
+        "mutables": {"generator": mutables_g.get("batch_stats", {})
+                     if mutables_g else {}},
         "scheduler": {},
         "steps": int(ckpt.get("steps", 0)),
         "epochs": int(ckpt.get("epochs", 0)),
     }
+    from articulatory_tpu.utils.torch_import import DISCRIMINATOR_IMPORTERS
+
+    disc_type = config.get("discriminator_type")
     if "discriminator" in ckpt.get("model", {}) and \
-            config.get("discriminator_type") == \
-            "HiFiGANMultiScaleMultiPeriodDiscriminator":
+            disc_type in DISCRIMINATOR_IMPORTERS:
         try:
-            payload["model"]["discriminator"] = import_hifigan_msmpd(
-                ckpt["model"]["discriminator"],
-                config.get("discriminator_params", {}))
+            payload["model"]["discriminator"] = DISCRIMINATOR_IMPORTERS[
+                disc_type](ckpt["model"]["discriminator"],
+                           config.get("discriminator_params", {}))
         except KeyError:
             pass
 
