@@ -152,6 +152,11 @@ def load_model(checkpoint: str, config: dict | str | None = None,
         pqmf_params = config.get("pqmf_params", {})
         pqmf = PQMF(subbands=config[params_key]["out_channels"], **pqmf_params)
 
+    # move params to device once — otherwise every jitted call re-uploads the
+    # full host-resident weight pytree
+    params = jax.tree.map(jnp.asarray, params)
+    mutables = jax.tree.map(jnp.asarray, mutables)
+
     return LoadedModel(model=model, params=params, config=config,
                        mutables=mutables, mean=mean, scale=scale, pqmf=pqmf)
 
