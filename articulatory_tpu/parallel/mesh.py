@@ -36,13 +36,24 @@ def make_mesh(num_devices: int | None = None, axis_name: str = "data") -> Mesh:
 def make_data_mesh(batch_size: int, axis_name: str = "data") -> Mesh:
     """Data-parallel mesh over as many devices as divide the global batch.
 
-    If the configured batch size is not divisible by the device count, use
-    the largest divisor (with a warning) rather than failing — mirrors how
-    per-device batching must stay integral under SPMD.
+    ``batch_size`` is the *per-process* batch (the reference's semantics: the
+    global batch is batch_size x process_count, train.py:1609-1615). In a
+    multi-process run the mesh must span every process's devices, so the
+    global batch must divide the full device count. Single-process: if the
+    batch is not divisible by the device count, use the largest divisor
+    (with a warning) rather than failing.
     """
     import logging
 
     devices = jax.devices()
+    if jax.process_count() > 1:
+        global_batch = batch_size * jax.process_count()
+        if global_batch % len(devices) != 0:
+            raise ValueError(
+                f"global batch {global_batch} (= {batch_size} x "
+                f"{jax.process_count()} processes) must be divisible by the "
+                f"{len(devices)}-device mesh")
+        return Mesh(np.asarray(devices), (axis_name,))
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
