@@ -291,6 +291,10 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
             adv = criterion.gen_adv(p_)
             metrics_local["train/adversarial_loss"] = adv
             if criterion.use_feat_match_loss:
+                # NOTE: same window rng as the fake pass, so random-window
+                # discriminators (StyleMelGAN) compare feature maps over the
+                # SAME windows; the reference draws fresh windows per call and
+                # questions its own choice (style_melgan.py:333)
                 p = jax.lax.stop_gradient(
                     disc_apply(state.params_d, disc_y, rng_w1))
                 fm = criterion.feat_match(p_, p)
