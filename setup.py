@@ -22,6 +22,9 @@ setup(
             "articulatory-tpu-normalize=articulatory_tpu.bin.normalize:main",
             "articulatory-tpu-train=articulatory_tpu.bin.train:main",
             "articulatory-tpu-decode=articulatory_tpu.bin.decode:main",
+            "articulatory-tpu-compute-mcd=articulatory_tpu.bin.compute_mcd:main",
+            "articulatory-tpu-model-stats=articulatory_tpu.bin.model_stats:main",
+            "articulatory-tpu-convert-checkpoint=articulatory_tpu.bin.convert_checkpoint:main",
         ],
     },
 )
