@@ -44,6 +44,10 @@ class HiFiGANResidualBlock(nn.Module):
     nonlinear_activation_params: dict = None
     use_weight_norm: bool = True
     compute_dtype: object = None
+    # >1: input/output are time-packed (B, T/p, p*channels) and the convs run
+    # through the space-to-depth transform (ops/packed_conv.py) — numerically
+    # identical, ~p x better MXU lane utilization for narrow channels
+    time_pack: int = 1
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -51,20 +55,58 @@ class HiFiGANResidualBlock(nn.Module):
         act = get_activation(self.nonlinear_activation,
                              self.nonlinear_activation_params or {"negative_slope": 0.1})
         for i, dilation in enumerate(self.dilations):
-            xt = Conv1d(self.channels, self.kernel_size, dilation=dilation,
-                        padding=(self.kernel_size - 1) // 2 * dilation,
-                        use_bias=self.use_bias, use_weight_norm=self.use_weight_norm,
-                        dtype=self.compute_dtype,
-                        name=f"convs1_{i}")(act(x))
+            xt = self._conv(f"convs1_{i}", act(x), dilation)
             if self.use_additional_convs:
-                xt = Conv1d(self.channels, self.kernel_size, dilation=1,
-                            padding=(self.kernel_size - 1) // 2,
-                            use_bias=self.use_bias,
-                            use_weight_norm=self.use_weight_norm,
-                            dtype=self.compute_dtype,
-                            name=f"convs2_{i}")(act(xt))
+                xt = self._conv(f"convs2_{i}", act(xt), 1)
             x = xt + x
         return x
+
+    def _conv(self, name: str, x: Array, dilation: int) -> Array:
+        if self.time_pack <= 1:
+            return Conv1d(self.channels, self.kernel_size, dilation=dilation,
+                          padding=(self.kernel_size - 1) // 2 * dilation,
+                          use_bias=self.use_bias,
+                          use_weight_norm=self.use_weight_norm,
+                          dtype=self.compute_dtype, name=name)(x)
+        return _PackedSameConv1d(self.channels, self.kernel_size,
+                                 dilation=dilation, use_bias=self.use_bias,
+                                 use_weight_norm=self.use_weight_norm,
+                                 time_pack=self.time_pack, name=name)(x)
+
+
+class _PackedSameConv1d(nn.Module):
+    """SAME conv on a time-packed (B, T/p, p*C) tensor; parameters are laid
+    out exactly like Conv1d's so checkpoints are interchangeable."""
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    time_pack: int = 4
+
+    @nn.compact
+    def __call__(self, xp: Array) -> Array:
+        from articulatory_tpu.layers.conv import (
+            _resolve_kernel_init,
+            _weight_norm_param,
+            torch_bias_init,
+        )
+        from articulatory_tpu.ops.packed_conv import packed_conv1d, pack_kernel_jnp
+
+        c_in = xp.shape[-1] // self.time_pack
+        shape = (self.kernel_size, c_in, self.features)
+        kinit = _resolve_kernel_init("torch_default", (0, 1))
+        if self.use_weight_norm:
+            w = _weight_norm_param(self, shape, kinit, norm_axes=(0, 1))
+        else:
+            w = self.param("w", kinit, shape)
+        b = None
+        if self.use_bias:
+            b = self.param("b", torch_bias_init(shape[0] * shape[1]),
+                           (self.features,))
+        wp, lo, hi = pack_kernel_jnp(w, self.dilation, self.time_pack)
+        return packed_conv1d(xp, wp, lo, hi, b, p=self.time_pack)
 
 
 class WaveNetResidualBlock(nn.Module):

@@ -61,6 +61,24 @@ def pack_kernel(w: np.ndarray, dilation: int, p: int
     return wp, -qmin, qmax
 
 
+def pack_kernel_jnp(w: jax.Array, dilation: int, p: int
+                    ) -> tuple[jax.Array, int, int]:
+    """Traced version of pack_kernel (w may be a jitted parameter)."""
+    k, c_in, c_out = w.shape
+    assert k % 2 == 1
+    center = (k - 1) // 2
+    offsets = [(i, kk, i + (kk - center) * dilation)
+               for i in range(p) for kk in range(k)]
+    qs = [s // p for _, _, s in offsets]
+    qmin, qmax = min(qs), max(qs)
+    wp = jnp.zeros((qmax - qmin + 1, p * c_in, p * c_out), w.dtype)
+    for i, kk, s in offsets:
+        q, r = s // p, s % p
+        wp = wp.at[q - qmin, r * c_in:(r + 1) * c_in,
+                   i * c_out:(i + 1) * c_out].add(w[kk])
+    return wp, -qmin, qmax
+
+
 def packed_conv1d(xp: jax.Array, wp: jax.Array, pad_lo: int, pad_hi: int,
                   b: jax.Array | None = None, p: int = 4) -> jax.Array:
     """Packed-layout conv: xp (B, T', p*C) with a pack_kernel result."""
