@@ -359,7 +359,7 @@ class AudioSCPDataset:
     def __init__(self, wav_scp: str, segments=None, audio_length_threshold=None,
                  return_utt_id: bool = False, return_sampling_rate: bool = True,
                  allow_cache: bool = False):
-        self.loader = WavScpLoader(wav_scp)
+        self.loader = WavScpLoader(wav_scp, segments=segments)
         self.utt_ids = list(self.loader.keys())
         self.return_utt_id = return_utt_id
         self.return_sampling_rate = return_sampling_rate

@@ -164,18 +164,28 @@ class NpyScpLoader:
 
 
 class WavScpLoader:
-    """Loader for wav.scp; supports plain paths and trailing-pipe commands.
+    """Loader for wav.scp; supports plain paths, trailing-pipe commands, and
+    kaldi-style segments files.
 
-    Kaldi-style piped entries ('... | sox ... -t wav - |') are executed with
-    the shell and the wav read from stdout; gated behind the command actually
-    being present on the system.
+    Piped entries ('... | sox ... -t wav - |') are executed with the shell
+    and the wav read from stdout. With ``segments`` (lines
+    ``utt_id rec_id start end`` in seconds), keys map to utterance segments
+    sliced out of the recording.
     """
 
-    def __init__(self, wav_scp: str):
+    def __init__(self, wav_scp: str, segments: str | None = None):
         self.data = load_scp(wav_scp)
+        self.segments: dict[str, tuple[str, float, float]] | None = None
+        if segments is not None:
+            self.segments = {}
+            with open(segments) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 4:
+                        utt, rec, start, end = parts[:4]
+                        self.segments[utt] = (rec, float(start), float(end))
 
-    def __getitem__(self, key: str) -> tuple[np.ndarray, int]:
-        value = self.data[key]
+    def _read(self, value: str) -> tuple[np.ndarray, int]:
         if value.endswith("|"):
             import io
             import subprocess
@@ -190,11 +200,24 @@ class WavScpLoader:
             return data, int(sr)
         return read_wav(value)
 
+    def __getitem__(self, key: str) -> tuple[np.ndarray, int]:
+        if self.segments is not None:
+            rec, start, end = self.segments[key]
+            audio, sr = self._read(self.data[rec])
+            return audio[int(start * sr): int(end * sr)], sr
+        return self._read(self.data[key])
+
     def __len__(self) -> int:
+        if self.segments is not None:
+            return len(self.segments)
         return len(self.data)
 
     def __iter__(self):
+        if self.segments is not None:
+            return iter(self.segments)
         return iter(self.data)
 
     def keys(self):
+        if self.segments is not None:
+            return self.segments.keys()
         return self.data.keys()

@@ -57,3 +57,22 @@ def test_frame_count_matches_centered_convention(rng):
         x = jnp.zeros((t,))
         m = logmelfilterbank(x, 16000, fft_size=1024, hop_size=hop)
         assert m.shape[0] == 1 + t // hop
+
+
+def test_wavscp_segments(tmp_path, rng):
+    from articulatory_tpu.utils.io import WavScpLoader, write_wav
+
+    sr = 16000
+    wav = rng.standard_normal(sr * 2).astype(np.float32) * 0.1
+    write_wav(str(tmp_path / "rec.wav"), wav, sr)
+    (tmp_path / "wav.scp").write_text(f"rec {tmp_path}/rec.wav\n")
+    (tmp_path / "segments").write_text(
+        "utt_a rec 0.0 0.5\nutt_b rec 1.0 1.25\n")
+    loader = WavScpLoader(str(tmp_path / "wav.scp"),
+                          segments=str(tmp_path / "segments"))
+    assert sorted(loader.keys()) == ["utt_a", "utt_b"]
+    a, fs = loader["utt_a"]
+    b, _ = loader["utt_b"]
+    assert fs == sr and len(a) == sr // 2 and len(b) == sr // 4
+    # PCM16 roundtrip tolerance
+    np.testing.assert_allclose(a, wav[: sr // 2], atol=2e-4)
