@@ -137,3 +137,80 @@ def test_msmpd_matches_reference(reference, rng):
             elif tr.ndim == 4:  # (B, C, H, W) vs (B, H, W, C)
                 to = np.transpose(to, (0, 3, 1, 2))
             np.testing.assert_allclose(to, tr, rtol=1e-3, atol=1e-4)
+
+
+@requires_reference
+def test_generator_spk_matches_reference(reference, rng):
+    """use_spk_id (additive speaker embedding, hifigan.py:212-216) parity.
+    Note the reference cannot combine use_spk_id with use_ph or use_ar:
+    spk_fc projects to in_channels and is added *before* the ph/ar concats,
+    so the channel counts only line up when spk_id is the sole hook."""
+    import torch
+    from articulatory.models import HiFiGANGenerator as RefGen
+
+    from articulatory_tpu.utils.torch_import import import_hifigan_generator
+
+    cfg = dict(in_channels=13, out_channels=1, channels=32, kernel_size=7,
+               upsample_scales=[4, 2], upsample_kernel_sizes=[8, 4],
+               resblock_kernel_sizes=[3], resblock_dilations=[[1, 3]],
+               use_spk_id=True, num_spk=4, spk_emb_size=8)
+    torch.manual_seed(0)
+    ref = RefGen(**cfg)
+    ref.eval()
+
+    params = import_hifigan_generator(ref.state_dict(), cfg)
+    ours = HiFiGANGenerator(**{**cfg,
+                               "upsample_scales": tuple(cfg["upsample_scales"]),
+                               "upsample_kernel_sizes": tuple(cfg["upsample_kernel_sizes"]),
+                               "resblock_kernel_sizes": tuple(cfg["resblock_kernel_sizes"]),
+                               "resblock_dilations": tuple(map(tuple, cfg["resblock_dilations"]))})
+
+    b, t = 2, 25
+    c = rng.standard_normal((b, 13, t)).astype(np.float32)
+    spk_id = rng.integers(0, 4, (b,))
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(c),
+                    spk_id=torch.from_numpy(spk_id)).numpy()
+
+    y_ours = ours.apply({"params": params},
+                        jnp.asarray(np.transpose(c, (0, 2, 1))),
+                        spk_id=jnp.asarray(spk_id, jnp.int32))
+    y_ours = np.transpose(np.asarray(y_ours), (0, 2, 1))
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-3, atol=1e-4)
+
+
+@requires_reference
+def test_generator_ph_matches_reference(reference, rng):
+    """use_ph (phoneme-embedding concat, hifigan.py:217-220) parity:
+    in_channels includes the embedding width (13 feats + 8 ph emb)."""
+    import torch
+    from articulatory.models import HiFiGANGenerator as RefGen
+
+    from articulatory_tpu.utils.torch_import import import_hifigan_generator
+
+    cfg = dict(in_channels=21, out_channels=1, channels=32, kernel_size=7,
+               upsample_scales=[4, 2], upsample_kernel_sizes=[8, 4],
+               resblock_kernel_sizes=[3], resblock_dilations=[[1, 3]],
+               use_ph=True, num_ph=6, ph_emb_size=8)
+    torch.manual_seed(0)
+    ref = RefGen(**cfg)
+    ref.eval()
+
+    params = import_hifigan_generator(ref.state_dict(), cfg)
+    ours = HiFiGANGenerator(**{**cfg,
+                               "upsample_scales": tuple(cfg["upsample_scales"]),
+                               "upsample_kernel_sizes": tuple(cfg["upsample_kernel_sizes"]),
+                               "resblock_kernel_sizes": tuple(cfg["resblock_kernel_sizes"]),
+                               "resblock_dilations": tuple(map(tuple, cfg["resblock_dilations"]))})
+
+    b, t = 2, 25
+    c = rng.standard_normal((b, 13, t)).astype(np.float32)
+    ph = rng.integers(0, 6, (b, t))
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(c), ph=torch.from_numpy(ph)).numpy()
+
+    y_ours = ours.apply({"params": params},
+                        jnp.asarray(np.transpose(c, (0, 2, 1))),
+                        ph=jnp.asarray(ph, jnp.int32))
+    y_ours = np.transpose(np.asarray(y_ours), (0, 2, 1))
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-3, atol=1e-4)
