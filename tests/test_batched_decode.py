@@ -49,3 +49,28 @@ def test_batched_matches_sequential(rng):
         y_seq = np.asarray(ar_loop(shim, x, config))
         assert yb.shape == y_seq.shape
         np.testing.assert_allclose(yb, y_seq, rtol=1e-4, atol=1e-5)
+
+
+def test_scan_matches_sequential(rng):
+    model = HiFiGANGenerator(
+        in_channels=13 + 8, channels=16, upsample_scales=(5, 4, 2, 2),
+        upsample_kernel_sizes=(10, 8, 4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), use_ar=True, ar_input=64, ar_hidden=8,
+        ar_output=8)
+    c0 = jnp.zeros((1, 10, 13))
+    v = model.init(jax.random.PRNGKey(0), c0, ar=jnp.zeros((1, 64, 1)))
+    shim = _Shim(model, v["params"])
+
+    config = {"dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+              "generator_params": {"out_channels": 1, "use_ar": True,
+                                   "ar_input": 64}}
+    from articulatory_tpu.inference import ar_loop_scan
+
+    for t in (30, 27):  # whole chunks and a ragged tail
+        x = rng.standard_normal((t, 13)).astype(np.float32)
+        y_scan = ar_loop_scan(shim, x, config)
+        y_seq = np.asarray(ar_loop(shim, x, config))
+        n_full = (t // 10) * 800
+        assert len(y_scan) == t * 80
+        np.testing.assert_allclose(y_scan[:n_full], y_seq[:n_full],
+                                   rtol=1e-4, atol=1e-5)
