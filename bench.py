@@ -23,7 +23,8 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 50 * 16000
 
 # workload: batch of utterances, each N seconds of 200 Hz features
-BATCH = 8
+# (batch sweep on v5e: 8 -> 20.0M, 16 -> 20.6M, 32 -> 19.8M samples/s)
+BATCH = 16
 SECONDS_PER_UTT = 30.0
 FRAME_RATE = 200
 HOP = 80
