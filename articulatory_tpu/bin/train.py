@@ -389,8 +389,19 @@ def main():
         logging.info(f"Successfully resumed from {args.resume}.")
 
     criterion = GANCriterion(config)
-    mesh = make_data_mesh(config["batch_size"])
-    state = replicate(state, mesh)
+    tp = int(config.get("tensor_parallel", 1))
+    if tp > 1:
+        # 2-D (data, model) mesh: generator channel-sharded, discriminator
+        # replicated (see parallel/tp.py for scope + rationale)
+        from articulatory_tpu.parallel.tp import make_dp_tp_mesh, shard_tree_tp
+
+        mesh = make_dp_tp_mesh(tp=tp)
+        state = replicate(state, mesh)
+        state = state.replace(params_g=shard_tree_tp(state.params_g, mesh),
+                              opt_g=shard_tree_tp(state.opt_g, mesh))
+    else:
+        mesh = make_data_mesh(config["batch_size"])
+        state = replicate(state, mesh)
     train_step = jax.jit(make_train_step(gen, disc, criterion, config,
                                          tx_g, tx_d, gen2=gen2),
                          donate_argnums=(0,))

@@ -78,7 +78,9 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     analog of DistributedSampler's per-rank batches (reference
     train.py:1609-1615).
     """
-    n = mesh.devices.size
+    # divisibility is against the data axis only (the mesh may be 2-D with a
+    # model axis for tensor parallelism; see parallel/tp.py)
+    n = mesh.shape[axis_name]
     nproc = jax.process_count()
 
     def put(x):
