@@ -395,7 +395,13 @@ def main():
         # replicated (see parallel/tp.py for scope + rationale)
         from articulatory_tpu.parallel.tp import make_dp_tp_mesh, shard_tree_tp
 
-        mesh = make_dp_tp_mesh(tp=tp)
+        n = len(jax.devices())
+        if n % tp != 0:
+            raise ValueError(f"{n} devices not divisible by tensor_parallel={tp}")
+        dp = n // tp
+        while dp > 1 and config["batch_size"] % dp != 0:
+            dp -= 1
+        mesh = make_dp_tp_mesh(tp=tp, num_devices=dp * tp)
         state = replicate(state, mesh)
         state = state.replace(params_g=shard_tree_tp(state.params_g, mesh),
                               opt_g=shard_tree_tp(state.opt_g, mesh))

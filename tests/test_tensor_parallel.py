@@ -70,3 +70,52 @@ def test_dp2_tp4_matches_single_device(rng):
                       jax.tree.leaves(s2.params_g)):
         np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_train_cli_tensor_parallel(tmp_path, monkeypatch, rng):
+    """bin/train.py with `tensor_parallel: 2` trains end-to-end on the
+    virtual 8-device mesh (dp sized to divide the batch, tp=2)."""
+    import os
+    import sys
+
+    import yaml
+
+    from test_e2e_pipeline import make_corpus, tiny_yaml
+
+    root = str(tmp_path)
+    monkeypatch.chdir(root)
+    make_corpus(root, rng)
+    cfg_path = tiny_yaml(root)
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["tensor_parallel"] = 2
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from articulatory_tpu.bin import compute_statistics, normalize, preprocess
+    from articulatory_tpu.bin import train as train_bin
+
+    for name in ("tr_set", "dev_set"):
+        monkeypatch.setattr(sys, "argv", [
+            "preprocess", "--wav-scp", f"data/{name}/wav.scp",
+            "--dumpdir", f"dump/{name}/raw", "--config", cfg_path,
+            "--verbose", "0"])
+        preprocess.main()
+    monkeypatch.setattr(sys, "argv", [
+        "compute_statistics", "--rootdir", "dump/tr_set/raw",
+        "--config", cfg_path, "--dumpdir", "dump/tr_set", "--verbose", "0"])
+    compute_statistics.main()
+    for name in ("tr_set", "dev_set"):
+        monkeypatch.setattr(sys, "argv", [
+            "normalize", "--rootdir", f"dump/{name}/raw",
+            "--dumpdir", f"dump/{name}/norm", "--stats", "dump/tr_set/stats.h5",
+            "--config", cfg_path, "--verbose", "0"])
+        normalize.main()
+
+    monkeypatch.setattr(sys, "argv", [
+        "train", "--train-dumpdir", "dump/tr_set/norm",
+        "--dev-dumpdir", "dump/dev_set/norm", "--outdir", "exp/tp",
+        "--config", cfg_path, "--verbose", "0"])
+    train_bin.main()
+    ckpts = [f for f in os.listdir("exp/tp") if f.endswith(".ckpt")]
+    assert ckpts, "no checkpoint saved under tensor_parallel training"
