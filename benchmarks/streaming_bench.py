@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Streaming-serving latency benchmark: per-chunk latency of the
+StreamingSynthesizer at 1..N concurrent streams.
+
+Run: python benchmarks/streaming_bench.py [--max-streams 16] [--chunks 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max-streams", type=int, default=16)
+    p.add_argument("--chunks", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+
+    from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from articulatory_tpu.inference import LoadedModel
+    from articulatory_tpu.models import HiFiGANGenerator
+    from articulatory_tpu.streaming import StreamingSynthesizer
+
+    hop = 80
+    config = {"dataset_mode": "a2w", "batch_max_steps": 8000, "hop_size": hop,
+              "generator_params": {"out_channels": 1, "use_ar": True,
+                                   "ar_input": 512}}
+    model = HiFiGANGenerator(
+        in_channels=141, out_channels=1, channels=512, kernel_size=7,
+        upsample_scales=(5, 4, 2, 2), upsample_kernel_sizes=(10, 8, 4, 4),
+        resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+        use_ar=True, ar_input=512, ar_hidden=256, ar_output=128)
+    c0 = jnp.zeros((1, 100, 13))
+    v = model.init(jax.random.PRNGKey(0), c0,
+                   ar=jnp.zeros((1, 512, 1), jnp.float32))
+    loaded = LoadedModel(model=model, params=jax.device_put(v["params"]),
+                         config=config, mutables={})
+
+    rng = np.random.default_rng(0)
+    streams = 1
+    while streams <= args.max_streams:
+        syn = StreamingSynthesizer(loaded, config, batch=streams)
+        chunk = rng.standard_normal((streams, 100, 13)).astype(np.float32)
+        np.asarray(syn.synthesize_chunk(chunk))  # compile
+        start = time.perf_counter()
+        for _ in range(args.chunks):
+            out = syn.synthesize_chunk(chunk)
+        np.asarray(out)
+        el = time.perf_counter() - start
+        ms = 1000 * el / args.chunks
+        # each chunk is 100 frames = 0.5 s of audio per stream
+        print(f"{streams:3d} stream(s): {ms:6.1f} ms/chunk "
+              f"({500 / ms:.1f}x realtime per stream)")
+        streams *= 4
+
+
+if __name__ == "__main__":
+    main()
