@@ -239,11 +239,16 @@ def main():
     args = build_parser().parse_args()
     set_logging(args.verbose)
 
-    # make a CPU backend available for cheap init compiles alongside the TPU
+    # Honor the JAX_PLATFORMS env var explicitly: a sitecustomize may have
+    # imported jax before this point, after which the env var alone is
+    # ignored — only jax.config.update takes effect. Also make a CPU
+    # backend available for cheap init compiles alongside the TPU.
     plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat and "cpu" not in plat.split(","):
+    if plat:
+        if "cpu" not in plat.split(","):
+            plat = plat + ",cpu"
         try:
-            jax.config.update("jax_platforms", plat + ",cpu")
+            jax.config.update("jax_platforms", plat)
         except Exception:
             pass
 
@@ -261,6 +266,10 @@ def main():
             pid = int(os.environ["JAX_PROCESS_ID"])
         jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=nproc, process_id=pid)
+        if jax.process_index() != 0 and args.verbose <= 1:
+            # non-rank-0 stdout squelch, matching the reference
+            # (train.py:1461-1463)
+            logging.getLogger().setLevel(logging.WARNING)
 
     with open(args.config) as f:
         config = yaml.load(f, Loader=yaml.Loader)

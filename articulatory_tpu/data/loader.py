@@ -50,8 +50,15 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(indices)
-        # shard per host: contiguous interleave so shards stay balanced
-        indices = indices[self.shard_id::self.num_shards]
+        if self.num_shards > 1:
+            # wrap-pad so every host sees the SAME number of batches with the
+            # SAME sizes (torch DistributedSampler parity). Unequal shards
+            # would deadlock multi-host SPMD: one process would enter a
+            # collective step the others never reach.
+            total = -(-n // self.num_shards) * self.num_shards
+            if total > n:
+                indices = np.concatenate([indices, indices[: total - n]])
+            indices = indices[self.shard_id::self.num_shards]
         for i in range(0, len(indices), self.batch_size):
             batch = indices[i:i + self.batch_size]
             if self.drop_last and len(batch) < self.batch_size:
@@ -61,7 +68,7 @@ class DataLoader:
     def __len__(self) -> int:
         if self.batch_sampler is not None:
             return sum(1 for _ in self.batch_sampler)
-        n = len(self.dataset) // self.num_shards
+        n = -(-len(self.dataset) // self.num_shards)  # wrap-padded shard size
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -78,6 +85,16 @@ class DataLoader:
         # threaded prefetch: overlap h5/npy reads + collation with training
         batch_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # set when the consumer abandons iteration
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    batch_queue.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             from collections import deque
@@ -88,20 +105,34 @@ class DataLoader:
                     # bound in-flight work so a slow consumer doesn't make us
                     # load the whole epoch into memory
                     while len(inflight) >= self.num_workers + self.prefetch:
-                        batch_queue.put(inflight.popleft().result())
+                        if not _put(inflight.popleft().result()):
+                            return
+                    if stop.is_set():
+                        return
                     inflight.append(pool.submit(self._load_batch, idxs))
                 while inflight:
-                    batch_queue.put(inflight.popleft().result())
-            batch_queue.put(sentinel)
+                    if not _put(inflight.popleft().result()):
+                        return
+            _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = batch_queue.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = batch_queue.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # unblock and retire the producer even if the consumer stopped
+            # mid-epoch (train_max_steps hit inside an epoch)
+            stop.set()
+            while True:  # drain so a put-in-progress can finish
+                try:
+                    batch_queue.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=30)
 
 
 def _default_collate(items: Sequence):

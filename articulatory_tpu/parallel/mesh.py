@@ -89,6 +89,15 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
             if x.ndim == 0:
                 return jax.make_array_from_process_local_data(
                     NamedSharding(mesh, P()), x)
+            # pad the local batch (repeating the last row) up to this host's
+            # share of the data axis, so tail batches still shard. All hosts
+            # see identical local batch sizes (wrap-padded DataLoader), so
+            # the resulting global shape is consistent.
+            per_host = max(1, n // nproc)
+            rem = x.shape[0] % per_host
+            if rem:
+                x = np.concatenate(
+                    [x, np.repeat(x[-1:], per_host - rem, axis=0)])
             global_shape = (x.shape[0] * nproc,) + x.shape[1:]
             return jax.make_array_from_process_local_data(
                 batch_sharding(mesh, x.ndim, axis_name), x, global_shape)

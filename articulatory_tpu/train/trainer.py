@@ -118,10 +118,15 @@ class Trainer:
     def _train_epoch(self):
         for batch in self.data_loader["train"]:
             self._train_step(batch)
+            # Interval *output* (logging, tensorboard, plots) is rank-0 only,
+            # mirroring the reference (train.py:449-452) — but under global-
+            # mesh SPMD the eval/checkpoint *computation* must run on every
+            # process (eval_step and orbax saves contain collectives; a
+            # host-0-only call would deadlock the other hosts).
             if self.is_host:
                 self._check_log_interval()
-                self._check_eval_interval()
-                self._check_save_interval()
+            self._check_eval_interval()
+            self._check_save_interval()
             if self.finish_train:
                 return
         self.epochs += 1
@@ -223,27 +228,41 @@ class Trainer:
             for k, v in metrics.items():
                 totals[k] = totals[k] + v
             count += 1
-            if first_outputs is None:
-                first_outputs = np.asarray(y_)
+            if first_outputs is None and self.is_host:
+                if jax.process_count() > 1:
+                    # batch-sharded output: only the local shards are
+                    # addressable; they hold this host's own utterances
+                    # (dedupe by index — replicated axes repeat shards)
+                    uniq = {s.index: s.data for s in y_.addressable_shards}
+                    order = sorted(uniq, key=lambda idx: [s.start or 0
+                                                          for s in idx])
+                    first_outputs = np.concatenate(
+                        [np.asarray(uniq[k]) for k in order])
+                else:
+                    first_outputs = np.asarray(y_)
                 first_batch = batch
         if count == 0:
             return
         logging.info(f"(Steps: {self.steps}) Finished evaluation "
                      f"({count} steps per epoch).")
+        # jitted metrics are replicated scalars — identical on every process,
+        # so the best-mel decision stays in sync across hosts
         averages = {k: float(v) / count for k, v in totals.items()}
-        for key, avg in sorted(averages.items()):
-            logging.info(f"(Steps: {self.steps}) {key} = {avg:.4f}.")
-            if self.writer:
-                self.writer.add_scalar(key, avg, self.steps)
+        if self.is_host:
+            for key, avg in sorted(averages.items()):
+                logging.info(f"(Steps: {self.steps}) {key} = {avg:.4f}.")
+                if self.writer:
+                    self.writer.add_scalar(key, avg, self.steps)
         mel_key = "eval/mel_loss"
         if mel_key in averages and averages[mel_key] < self.best_mel_loss:
             self.best_mel_loss = averages[mel_key]
             self.save_checkpoint(os.path.join(self.outdir, "best_mel_ckpt.pkl"))
-            with open(os.path.join(self.outdir, "best_mel_step.txt"), "w") as f:
-                f.write(f"{self.steps} {self.best_mel_loss}")
-            logging.info(f"(Steps: {self.steps}) New best eval/mel_loss "
-                         f"{self.best_mel_loss:.4f}.")
-        if first_outputs is not None:
+            if self.is_host:
+                with open(os.path.join(self.outdir, "best_mel_step.txt"), "w") as f:
+                    f.write(f"{self.steps} {self.best_mel_loss}")
+                logging.info(f"(Steps: {self.steps}) New best eval/mel_loss "
+                             f"{self.best_mel_loss:.4f}.")
+        if first_outputs is not None and self.is_host:
             self._save_intermediate(first_batch, first_outputs)
 
     def _save_intermediate(self, batch, y_gen: np.ndarray):
@@ -253,10 +272,13 @@ class Trainer:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        n = min(self.config.get("num_save_intermediate_results", 4), len(y_gen))
+        y_ref = np.asarray(batch["y"])
+        # y_gen may carry shard padding rows (multi-host tail batches);
+        # only the first len(y_ref) rows correspond to real local utterances
+        n = min(self.config.get("num_save_intermediate_results", 4),
+                len(y_gen), len(y_ref))
         dirname = os.path.join(self.outdir, f"predictions/{self.steps}steps")
         os.makedirs(dirname, exist_ok=True)
-        y_ref = np.asarray(batch["y"])
         sr = self.config.get("sampling_rate", 16000)
         is_wave = y_ref.ndim == 3 and y_ref.shape[-1] == 1
         for idx in range(n):

@@ -106,3 +106,117 @@ def test_two_process_training(tmp_path):
         env=env, capture_output=True, text=True, timeout=480)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert proc.stdout.count("OK") == 2, proc.stdout + proc.stderr
+
+
+TRAINER_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]))
+    import numpy as np
+    import jax.numpy as jnp
+
+    from articulatory_tpu.models import (
+        HiFiGANGenerator, HiFiGANMultiScaleMultiPeriodDiscriminator)
+    from articulatory_tpu.train.gan import (
+        GANCriterion, GANTrainState, make_train_step, make_eval_step)
+    from articulatory_tpu.train.optimizers import build_optimizer
+    from articulatory_tpu.train.schedulers import ConstantLR
+    from articulatory_tpu.train.trainer import Trainer
+    from articulatory_tpu.parallel.mesh import make_data_mesh, replicate
+
+    pid = jax.process_index()
+    outdir = sys.argv[1]
+    config = {
+        "dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+        "use_stft_loss": False, "use_mel_loss": True,
+        "mel_loss_params": {"fs": 16000, "fft_size": 256, "hop_size": 80,
+                            "num_mels": 20, "fmin": 0, "fmax": 8000},
+        "use_feat_match_loss": False,
+        "generator_adv_loss_params": {"average_by_discriminators": False},
+        "discriminator_adv_loss_params": {"average_by_discriminators": False},
+        "lambda_aux": 45.0, "lambda_adv": 1.0,
+        "generator_train_start_steps": 0, "discriminator_train_start_steps": 0,
+        "generator_params": {"out_channels": 1, "use_ar": False},
+        # intervals chosen so 4 steps hit eval twice and save twice
+        "train_max_steps": 4, "eval_interval_steps": 2,
+        "save_interval_steps": 2, "log_interval_steps": 2,
+        "num_save_intermediate_results": 1, "batch_size": 16,
+    }
+    gen = HiFiGANGenerator(in_channels=13, channels=16,
+                           upsample_scales=(5, 4, 2, 2),
+                           upsample_kernel_sizes=(10, 8, 4, 4),
+                           resblock_kernel_sizes=(3,), resblock_dilations=((1,),))
+    disc = HiFiGANMultiScaleMultiPeriodDiscriminator(
+        scales=1, scale_discriminator_params={"channels": 8,
+                                              "max_downsample_channels": 16,
+                                              "max_groups": 2},
+        periods=[2], period_discriminator_params={"channels": 2,
+                                                  "max_downsample_channels": 4})
+    key = jax.random.PRNGKey(0)
+    vg = gen.init(key, jnp.zeros((1, 10, 13)))
+    vd = disc.init({"params": key, "window": key}, jnp.zeros((1, 800, 1)))
+    tx = build_optimizer("SGD", {})
+    state = GANTrainState(params_g=vg["params"], params_d=vd["params"],
+                          opt_g=tx.init(vg["params"]),
+                          opt_d=tx.init(vd["params"]),
+                          steps=jnp.asarray(1, jnp.int32))
+    mesh = make_data_mesh(16)
+    state = replicate(state, mesh)
+
+    local_rng = np.random.default_rng(100 + pid)
+    def batches(n):
+        out = []
+        for _ in range(n):
+            out.append({
+                "x": (local_rng.standard_normal((8, 10, 13)).astype(np.float32),),
+                "y": (local_rng.standard_normal((8, 800, 1)) * 0.1).astype(np.float32)})
+        return out
+
+    criterion = GANCriterion(config)
+    trainer = Trainer(
+        config=config, state=state,
+        train_step=jax.jit(make_train_step(gen, disc, criterion, config, tx, tx)),
+        eval_step=jax.jit(make_eval_step(gen, disc, criterion, config)),
+        schedulers={"generator": ConstantLR(1e-3),
+                    "discriminator": ConstantLR(1e-3)},
+        data_loader={"train": batches(8), "dev": batches(2)},
+        outdir=outdir, mesh=mesh, steps=0, writer=False or None)
+    trainer.run()
+
+    from jax.experimental import multihost_utils
+    leaf = jax.tree.leaves(trainer.state.params_g)[0]
+    chk = np.float64(np.sum(np.asarray(leaf.addressable_data(0))))
+    all_chk = multihost_utils.process_allgather(chk)
+    assert np.allclose(all_chk, all_chk[0]), f"params diverged: {all_chk}"
+    print(f"proc {pid} TRAINER-OK steps {trainer.steps}", flush=True)
+""")
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_MULTIHOST") == "1",
+                    reason="multihost test disabled")
+def test_two_process_trainer_intervals(tmp_path):
+    """The Trainer's eval/save interval paths must run on BOTH processes
+    (SPMD collectives) without deadlock, and emit artifacts exactly once."""
+    worker = tmp_path / "worker.py"
+    worker.write_text(TRAINER_WORKER)
+    outdir = tmp_path / "exp"
+    outdir.mkdir()
+    root = os.path.join(os.path.dirname(__file__), "..")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    proc = subprocess.run(
+        [sys.executable, "-m", "articulatory_tpu.distributed.launch",
+         "--nproc_per_node", "2", "--master_port", "29743",
+         str(worker), str(outdir)],
+        env=env, capture_output=True, text=True, timeout=480)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert proc.stdout.count("TRAINER-OK") == 2, proc.stdout + proc.stderr
+    assert (outdir / "best_mel_ckpt.pkl").exists()
+    assert (outdir / "checkpoint-4steps.ckpt").exists()
+    assert (outdir / "best_mel_step.txt").exists()
