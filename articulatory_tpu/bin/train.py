@@ -301,9 +301,27 @@ def main():
         batch_sampler = SizeAwareSampler(audio_lens,
                                          **config.get("batch_sampler_params", {}))
 
-    # opt-in native C++ batch assembly for the hot a2w/random_window path
+    # opt-in device-resident corpus cache: batches are assembled ON device
+    # by a jitted crop; the host ships only (utt, start) indices per step.
+    # Eliminates per-step host transfers (which leak on the axon relay —
+    # see data/device_cache.py) and host-input latency entirely.
     train_loader = None
-    if (config.get("use_native_loader", False)
+    if (config.get("use_device_cache", False)
+            and config.get("dataset_mode") in ("a2w", "w2a", "a2m", "m2a")
+            and config.get("package_mode", "random_window") == "random_window"
+            and batch_sampler is None and num_shards == 1):
+        from articulatory_tpu.data.device_cache import DeviceCachedBatcher
+
+        train_loader = DeviceCachedBatcher(
+            train_dataset, config, batch_size=config["batch_size"],
+            seed=args.seed)
+        logging.info("using device-resident corpus cache for training data")
+    elif config.get("use_device_cache", False):
+        logging.warning("use_device_cache set but unsupported for this "
+                        "configuration; falling back to the host loader")
+
+    # opt-in native C++ batch assembly for the hot a2w/random_window path
+    if (train_loader is None and config.get("use_native_loader", False)
             and config.get("dataset_mode") == "a2w"
             and config.get("package_mode", "random_window") == "random_window"
             and batch_sampler is None):

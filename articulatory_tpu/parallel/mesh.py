@@ -84,6 +84,13 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     nproc = jax.process_count()
 
     def put(x):
+        if isinstance(x, jax.Array) and nproc == 1:
+            # already device-resident (device corpus cache): reshard on
+            # device — never round-trip through the host (every host->device
+            # transfer leaks its staging buffer on the axon relay platform)
+            if x.ndim == 0 or x.shape[0] % n != 0:
+                return jax.device_put(x, NamedSharding(mesh, P()))
+            return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
         x = np.asarray(x)
         if nproc > 1:
             if x.ndim == 0:

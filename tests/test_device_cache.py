@@ -1,0 +1,121 @@
+"""Device-resident corpus cache: the jitted on-device crop must reproduce
+the host collater's batches exactly for identical (utt, start) draws —
+including the AR context windows' zero padding at sequence start."""
+
+import numpy as np
+import pytest
+
+from articulatory_tpu.data.collate import CollaterMelArt, SpeechCollater
+from articulatory_tpu.data.device_cache import DeviceCachedBatcher
+
+HOP = 80
+FRAMES = 25  # batch_max_steps 2000 / hop 80
+
+
+class _ListDataset:
+    def __init__(self, items):
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+class _FixedStartRng:
+    """np.random.Generator stand-in that returns prescribed window starts."""
+
+    def __init__(self, starts):
+        self.starts = list(starts)
+
+    def integers(self, lo, hi):
+        s = self.starts.pop(0)
+        assert lo <= s < hi
+        return s
+
+
+def _corpus(rng, n=5, dict_items=True):
+    items = []
+    for i in range(n):
+        frames = rng.integers(60, 120)
+        art = rng.standard_normal((frames + 7, 13)).astype(np.float32)
+        audio = rng.standard_normal(frames * HOP).astype(np.float32)
+        items.append({"audio": audio, "art": art})
+    return items
+
+
+@pytest.mark.parametrize("mode,ar", [("a2w", False), ("a2w", True),
+                                     ("w2a", True)])
+def test_matches_host_collater(mode, ar, rng):
+    items = _corpus(rng)
+    config = {
+        "dataset_mode": mode, "hop_size": HOP,
+        "batch_max_steps": FRAMES * HOP,
+        "generator_params": {"out_channels": 1 if mode == "a2w" else 13,
+                             "use_ar": ar, "ar_input": 512},
+    }
+    batcher = DeviceCachedBatcher(_ListDataset(items), config, batch_size=3,
+                                  seed=0)
+    utts = np.array([0, 2, 4], np.int32)
+    starts = np.array([0, 5, 30], np.int32)  # include start=0 (AR zero pad)
+    dev = {k: (np.asarray(v[0]),) if k == "x" else np.asarray(v)
+           for k, v in batcher.batch_at(utts, starts).items()}
+
+    collater = SpeechCollater(
+        batch_max_steps=FRAMES * HOP, hop_size=HOP, dataset_mode=mode,
+        config=config, rng=_FixedStartRng(list(starts)))
+    host = collater([items[u] for u in utts])
+
+    np.testing.assert_allclose(dev["x"][0], host["x"][0], atol=0)
+    np.testing.assert_allclose(dev["y"], host["y"], atol=0)
+    if ar:
+        np.testing.assert_allclose(dev["ar"], host["ar"], atol=0)
+    else:
+        assert "ar" not in dev
+
+
+def test_matches_melart_collater(rng):
+    items = []
+    for i in range(4):
+        frames = int(rng.integers(60, 120))
+        mel = rng.standard_normal((frames, 20)).astype(np.float32)
+        art = rng.standard_normal((frames, 13)).astype(np.float32)
+        items.append((mel, art))
+    config = {"dataset_mode": "m2a", "hop_size": HOP,
+              "batch_max_steps": FRAMES * HOP, "generator_params": {}}
+    batcher = DeviceCachedBatcher(_ListDataset(items), config, batch_size=2,
+                                  seed=0)
+    utts = np.array([1, 3], np.int32)
+    starts = np.array([4, 11], np.int32)
+    dev = batcher.batch_at(utts, starts)
+
+    collater = CollaterMelArt(batch_max_steps=FRAMES * HOP, hop_size=HOP,
+                              aux_context_window=0, dataset_mode="m2a",
+                              rng=_FixedStartRng(list(starts)))
+    host = collater([items[u] for u in utts])
+    np.testing.assert_allclose(np.asarray(dev["x"][0]), host["x"][0], atol=0)
+    np.testing.assert_allclose(np.asarray(dev["y"]), host["y"], atol=0)
+
+
+def test_iteration_and_bounds(rng):
+    items = _corpus(rng, n=6)
+    config = {"dataset_mode": "a2w", "hop_size": HOP,
+              "batch_max_steps": FRAMES * HOP,
+              "generator_params": {"out_channels": 1, "use_ar": True,
+                                   "ar_input": 512}}
+    batcher = DeviceCachedBatcher(_ListDataset(items), config, batch_size=4,
+                                  seed=3)
+    n = 0
+    for batch in batcher:
+        assert batch["x"][0].shape == (4, FRAMES, 13)
+        assert batch["y"].shape == (4, FRAMES * HOP, 1)
+        assert batch["ar"].shape == (4, 512, 1)
+        n += 1
+    assert n == len(batcher)
+    # different epochs draw different windows
+    batcher.set_epoch(1)
+    b0 = next(iter(batcher))
+    batcher.set_epoch(2)
+    b1 = next(iter(batcher))
+    assert not np.allclose(np.asarray(b0["y"]), np.asarray(b1["y"]))
