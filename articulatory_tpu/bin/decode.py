@@ -87,7 +87,16 @@ def main():
             dataset = MelSCPDataset(args.feats_scp, return_utt_id=True)
     elif dataset_mode in ("a2w", "art", "ph2a", "ph2m", "a2m"):
         if args.dumpdir is not None:
-            dataset = ArtDataset(args.dumpdir, return_utt_id=True,
+            # match the reference's format dispatch (decode.py:231-246):
+            # hdf5 dumps store the input stream under the "feats" key
+            if config["format"] == "hdf5":
+                art_query = "*.h5"
+                art_load_fn = lambda x: read_hdf5(x, "feats")  # noqa: E731
+            else:
+                art_query = "*-feats.npy"
+                art_load_fn = np.load
+            dataset = ArtDataset(args.dumpdir, query=art_query,
+                                 load_fn=art_load_fn, return_utt_id=True,
                                  transform=input_transform)
         else:
             dataset = ArtSCPDataset(args.feats_scp, return_utt_id=True,
@@ -104,8 +113,15 @@ def main():
     else:
         # generic x2y modes read articulatory-style inputs
         if args.dumpdir is not None:
-            dataset = ArtDataset(args.dumpdir, return_utt_id=True,
-                                 transform=input_transform)
+            if config["format"] == "hdf5":
+                dataset = ArtDataset(args.dumpdir, query="*.h5",
+                                     load_fn=lambda x: read_hdf5(x, "feats"),
+                                     return_utt_id=True,
+                                     transform=input_transform)
+            else:
+                dataset = ArtDataset(args.dumpdir, query="*-feats.npy",
+                                     load_fn=np.load, return_utt_id=True,
+                                     transform=input_transform)
         else:
             dataset = ArtSCPDataset(args.feats_scp, return_utt_id=True,
                                     transform=input_transform)

@@ -318,7 +318,8 @@ class ArtDataset:
     def __init__(self, feats_scp_or_dir: str, query: str = "*.npy",
                  length_threshold: int | None = None,
                  return_utt_id: bool = False, allow_cache: bool = False,
-                 transform=None):
+                 transform=None, load_fn=None):
+        self.load_fn = load_fn if load_fn is not None else np.load
         if os.path.isdir(feats_scp_or_dir):
             files = sorted(find_files(feats_scp_or_dir, query))
             self.utt_ids = [os.path.splitext(os.path.basename(f))[0] for f in files]
@@ -329,7 +330,7 @@ class ArtDataset:
             self.art_files = list(scp.values())
         if length_threshold is not None:
             keep = [i for i, f in enumerate(self.art_files)
-                    if np.load(f).shape[0] > length_threshold]
+                    if self.load_fn(f).shape[0] > length_threshold]
             self.utt_ids = [self.utt_ids[i] for i in keep]
             self.art_files = [self.art_files[i] for i in keep]
         self.return_utt_id = return_utt_id
@@ -340,7 +341,7 @@ class ArtDataset:
     def __getitem__(self, idx: int):
         if self.allow_cache and idx in self.caches:
             return self.caches[idx]
-        art = np.load(self.art_files[idx])
+        art = self.load_fn(self.art_files[idx])
         if self.transform is not None:
             art = self.transform(art)
         items = (self.utt_ids[idx], art) if self.return_utt_id else art
