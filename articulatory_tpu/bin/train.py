@@ -254,16 +254,24 @@ def main():
 
     from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    is_distributed = (args.coordinator_address is not None
+                      or "JAX_COORDINATOR_ADDRESS" in os.environ)
+    if is_distributed:
+        # resolve the rank BEFORE touching the compile cache: multi-process
+        # runs launched via CLI flags (no JAX_PROCESS_ID env) must get the
+        # same per-process cache policy as env-var launches
+        pid = args.process_id
+        if pid is None and "JAX_PROCESS_ID" in os.environ:
+            pid = int(os.environ["JAX_PROCESS_ID"])
+        enable_compilation_cache(process_id=pid)
+    else:
+        enable_compilation_cache()
 
-    if args.coordinator_address is not None or "JAX_COORDINATOR_ADDRESS" in os.environ:
+    if is_distributed:
         coord = args.coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
         nproc = args.num_processes
         if nproc is None and "JAX_NUM_PROCESSES" in os.environ:
             nproc = int(os.environ["JAX_NUM_PROCESSES"])
-        pid = args.process_id
-        if pid is None and "JAX_PROCESS_ID" in os.environ:
-            pid = int(os.environ["JAX_PROCESS_ID"])
         jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=nproc, process_id=pid)
         if jax.process_index() != 0 and args.verbose <= 1:
@@ -309,7 +317,11 @@ def main():
     if (config.get("use_device_cache", False)
             and config.get("dataset_mode") in ("a2w", "w2a", "a2m", "m2a")
             and config.get("package_mode", "random_window") == "random_window"
-            and batch_sampler is None and num_shards == 1):
+            and batch_sampler is None and num_shards == 1
+            # host collaters add aux_context_window frames and generator2
+            # 'ar2' windows the device crop does not reproduce
+            and config["generator_params"].get("aux_context_window", 0) == 0
+            and config.get("generator2_type") is None):
         from articulatory_tpu.data.device_cache import DeviceCachedBatcher
 
         train_loader = DeviceCachedBatcher(

@@ -322,7 +322,13 @@ class ArtDataset:
         self.load_fn = load_fn if load_fn is not None else np.load
         if os.path.isdir(feats_scp_or_dir):
             files = sorted(find_files(feats_scp_or_dir, query))
-            self.utt_ids = [os.path.splitext(os.path.basename(f))[0] for f in files]
+            # dump convention <utt>-feats.npy (reference :914); plain
+            # <utt>.<ext> otherwise
+            self.utt_ids = [
+                os.path.basename(f).replace("-feats.npy", "")
+                if f.endswith("-feats.npy")
+                else os.path.splitext(os.path.basename(f))[0]
+                for f in files]
             self.art_files = files
         else:
             scp = load_scp(feats_scp_or_dir)

@@ -48,6 +48,13 @@ class DeviceCachedBatcher:
         gp = config.get("generator_params", {})
         if gp.get("use_spk_id") or gp.get("use_ph"):
             raise ValueError("device cache does not support spk/ph hooks")
+        if config.get("generator2_type"):
+            raise ValueError("device cache does not support two-stage "
+                             "(generator2) configs: the host collater's 'ar2' "
+                             "waveform windows are not reproduced here")
+        if gp.get("aux_context_window", 0):
+            raise ValueError("device cache does not support "
+                             "aux_context_window != 0")
         self.mode = mode
         self.hop = int(config["hop_size"])
         self.batch_size = batch_size
@@ -111,7 +118,17 @@ class DeviceCachedBatcher:
                 out[i, : len(x)] = x
             return out
 
-        self.d_art = jnp.asarray(pad_stack(arts, fmax))
+        # w2a AR conditions on past *features*: left-pad the (single) art
+        # array by ar_len frames and read both the art window (at offset
+        # art_off) and the AR window (at offset 0) out of it — one device
+        # copy, not two
+        self.art_off = self.ar_len if self.mode == "w2a" else 0
+        art = pad_stack(arts, fmax)
+        if self.art_off:
+            art = np.concatenate(
+                [np.zeros((self.n_utts, self.art_off) + arts[0].shape[1:],
+                          np.float32), art], axis=1)
+        self.d_art = jnp.asarray(art)
         if self.is_melart:
             self.d_mel = jnp.asarray(pad_stack(mels, fmax))
             n_bytes = self.d_art.nbytes + self.d_mel.nbytes
@@ -124,12 +141,6 @@ class DeviceCachedBatcher:
                 audio = np.concatenate(
                     [np.zeros((len(audios), pad), np.float32), audio], axis=1)
             self.d_audio = jnp.asarray(audio)
-            # w2a: AR is past *features*; left-pad art stream instead
-            if self.mode == "w2a" and self.ar_len:
-                art_p = np.concatenate(
-                    [np.zeros((self.n_utts, self.ar_len) + arts[0].shape[1:],
-                              np.float32), pad_stack(arts, fmax)], axis=1)
-                self.d_art_padded = jnp.asarray(art_p)
             n_bytes = self.d_art.nbytes + self.d_audio.nbytes
         logging.info(
             f"device corpus cache: {self.n_utts} utterances, "
@@ -161,13 +172,14 @@ class DeviceCachedBatcher:
 
         d_art, d_audio = self.d_art, self.d_audio
         samples = self.samples
-        d_art_padded = getattr(self, "d_art_padded", None)
+        art_off = self.art_off
 
         @jax.jit
         def crop(utts, starts):
             def one(u, s):
+                # art stream is left-padded by art_off frames for w2a
                 art_w = jax.lax.dynamic_slice(
-                    d_art[u], (s, 0), (frames, d_art.shape[2]))
+                    d_art[u], (s + art_off, 0), (frames, d_art.shape[2]))
                 # audio stream is left-padded by ar_len for a2w
                 a0 = s * hop + (ar_len if mode == "a2w" else 0)
                 audio_w = jax.lax.dynamic_slice(d_audio[u], (a0,), (samples,))
@@ -177,7 +189,7 @@ class DeviceCachedBatcher:
                         d_audio[u], (s * hop,), (ar_len,))[:, None]
                 if ar_len and mode == "w2a":
                     out["ar"] = jax.lax.dynamic_slice(
-                        d_art_padded[u], (s, 0), (ar_len, d_art.shape[2]))
+                        d_art[u], (s, 0), (ar_len, d_art.shape[2]))
                 return out
 
             b = jax.vmap(one)(utts, starts)
@@ -197,10 +209,12 @@ class DeviceCachedBatcher:
         return self.steps_per_epoch
 
     def sample_indices(self, rng: np.random.Generator):
-        """One batch of (utt, start) draws; starts ∈ [0, len - frames]."""
+        """One batch of (utt, start) draws; starts ∈ [0, len - frames - 1],
+        matching the host collater's exclusive-high draw
+        (collate.py: rng.integers(start_offset, cl + end_offset))."""
         utts = rng.integers(0, self.n_utts, self.batch_size)
-        highs = self.lengths[utts] - self.frames
-        starts = (rng.random(self.batch_size) * (highs + 1)).astype(np.int64)
+        highs = self.lengths[utts] - self.frames  # exclusive
+        starts = (rng.random(self.batch_size) * highs).astype(np.int64)
         return utts.astype(np.int32), starts.astype(np.int32)
 
     def batch_at(self, utts: np.ndarray, starts: np.ndarray) -> dict:

@@ -10,7 +10,10 @@ from __future__ import annotations
 import os
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> None:
+def enable_compilation_cache(cache_dir: str | None = None,
+                             process_id: int | str | None = None) -> None:
+    """``process_id``: multi-process rank when launched via CLI flags rather
+    than the JAX_PROCESS_ID env var (bin/train.py --process-id)."""
     import jax
 
     if cache_dir is None:
@@ -25,7 +28,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     # then AOT machine-feature mismatch warnings on reload). CPU compiles are
     # cheap anyway — the cache exists for multi-minute remote TPU compiles,
     # where per-host filesystems make this a non-issue.
-    pid = os.environ.get("JAX_PROCESS_ID")
+    pid = os.environ.get("JAX_PROCESS_ID") if process_id is None else process_id
     if pid is not None:
         if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
             return

@@ -119,3 +119,35 @@ def test_iteration_and_bounds(rng):
     batcher.set_epoch(2)
     b1 = next(iter(batcher))
     assert not np.allclose(np.asarray(b0["y"]), np.asarray(b1["y"]))
+
+
+def test_sample_start_range_matches_host(rng):
+    """Starts must lie in [0, len - frames - 1] — the host collater's
+    exclusive-high rng.integers range (collate.py), not one past it."""
+    items = _corpus(rng, n=4)
+    config = {"dataset_mode": "a2w", "hop_size": HOP,
+              "batch_max_steps": FRAMES * HOP,
+              "generator_params": {"out_channels": 1, "use_ar": False}}
+    batcher = DeviceCachedBatcher(_ListDataset(items), config, batch_size=64,
+                                  seed=0)
+    g = np.random.default_rng(0)
+    for _ in range(50):
+        utts, starts = batcher.sample_indices(g)
+        highs = batcher.lengths[utts] - batcher.frames
+        assert np.all(starts < highs), "start == len - frames sampled"
+        assert np.all(starts >= 0)
+
+
+def test_rejects_unsupported_configs(rng):
+    items = _corpus(rng, n=3)
+    base = {"dataset_mode": "a2w", "hop_size": HOP,
+            "batch_max_steps": FRAMES * HOP,
+            "generator_params": {"out_channels": 1, "use_ar": False}}
+    cfg = dict(base, generator2_type="HiFiGANGenerator")
+    with pytest.raises(ValueError, match="generator2"):
+        DeviceCachedBatcher(_ListDataset(items), cfg, batch_size=2)
+    cfg = dict(base)
+    cfg["generator_params"] = dict(base["generator_params"],
+                                   aux_context_window=2)
+    with pytest.raises(ValueError, match="aux_context_window"):
+        DeviceCachedBatcher(_ListDataset(items), cfg, batch_size=2)

@@ -29,7 +29,10 @@ def main():
     refs = {}
     with open(args.feats_scp) as f:
         for line in f:
-            utt, path = line.split()
+            line = line.strip()
+            if not line:
+                continue
+            utt, path = line.split(maxsplit=1)
             refs[utt] = path
 
     rmses, corrs, n_utts = [], [], 0
