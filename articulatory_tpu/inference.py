@@ -95,12 +95,17 @@ class LoadedModel:
             if pad:
                 c = jnp.pad(c, [(0, pad)] + [(0, 0)] * (c.ndim - 1))
         out = self(c[None])
-        if self.pqmf is not None:
+        # multiband synthesis under the train-side gate (reference
+        # train.py:281: out_channels > 1 AND pqmf enabled) — a w2a model
+        # with multi-channel *feature* output must not be PQMF-synthesized
+        if self.pqmf is not None and self.config.get("pqmf", False):
             out = self.pqmf.synthesis(out)
         out = np.asarray(out[0])
         if bucket_frames:
-            scale = out.shape[0] // c.shape[0]
-            out = out[: t * scale]
+            # exact rational length trim — works for upsampling (a2w,
+            # out_len = T*prod(scales)) and downsampling (w2a inversion,
+            # out_len = T/hop) alike
+            out = out[: out.shape[0] * t // c.shape[0]]
         return out
 
 
@@ -193,8 +198,7 @@ def _load_generator_params(checkpoint: str, generator_key: str,
 
     payload = load_checkpoint(checkpoint)
     sd = payload["model"][generator_key]
-    mut = payload.get("mutables", {}).get("generator", {}) if generator_key == "generator" else {}
-    return sd, mut or {}
+    return sd, payload.get("mutables", {}).get(generator_key, {}) or {}
 
 
 # ---------------------------------------------------------------------------
@@ -248,16 +252,19 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
         # chunk pipeline full instead of a transfer round-trip per chunk
         for cin in ins:
             if modality is not None:
-                from articulatory_tpu.ops.interp import interpolate_linear_scale
-
                 interp = interpolate_linear_scale(jnp.asarray(cin)[None],
                                                   scale_factor)
                 cin_list = [None] * n_modalities
                 cin_list[modality] = interp
                 cout = model(cin_list, ar=prev)
                 outs.append(cout[0])
+                # same shift-register update as the non-modality branch
+                # (reference decode.py:77-81 applies it to modality chunks too)
                 if past_out_len <= audio_chunk_len:
                     prev = cout[:, -past_out_len:, :]
+                else:
+                    prev = jnp.concatenate(
+                        [prev[:, cout.shape[1]:, :], cout], axis=1)
                 continue
             cout = model(jnp.asarray(cin)[None], ar=prev)  # (1, T_out, C_out)
             outs.append(cout[0])

@@ -31,6 +31,9 @@ class StreamingSynthesizer:
         self.out_channels = gp.get("out_channels", 1)
         assert self.ar_input <= config["batch_max_steps"], \
             "shift-register AR not supported in streaming mode"
+        assert self.out_channels == 1 or not config.get("pqmf", False), \
+            "multiband (PQMF) generators not supported in streaming mode; " \
+            "use LoadedModel.inference / batched decode"
         self.batch = batch
         self.reset()
 
@@ -47,6 +50,7 @@ class StreamingSynthesizer:
     @functools.cached_property
     def _fwd(self):
         model = self.model
+        ar_input = self.ar_input  # must match self._prev's reset shape
 
         @jax.jit
         def fwd(params, cin, prev):
@@ -54,8 +58,7 @@ class StreamingSynthesizer:
                                     cin, ar=prev)
             if isinstance(out, tuple):
                 out = out[0]
-            return out, out[:, -model.config["generator_params"].get(
-                "ar_input", 512):, :]
+            return out, out[:, -ar_input:, :]
 
         return fwd
 

@@ -26,6 +26,7 @@ stage-1 generator params (train.py:1760-1769) — generator2 is frozen
 from __future__ import annotations
 
 import inspect
+import logging
 from typing import Any, Callable
 
 import flax
@@ -101,8 +102,19 @@ class GANCriterion:
                     window=config["window"], num_mels=config["num_mels"],
                     fmin=config["fmin"], fmax=config["fmax"])
             self.mel = MelSpectrogramLoss(**mel_params)
-        self.use_ph_loss = config.get("generator_params", {}).get("use_ph_loss", False)
+        # gate matches reference train.py:1735 (generator_params.use_ph_loss);
+        # in a cascade the ph head lives on generator2, so honor its flag too
+        self.use_ph_loss = (
+            config.get("generator_params", {}).get("use_ph_loss", False)
+            or (config.get("generator2_type") is not None
+                and config.get("generator2_params", {}).get("use_ph_loss",
+                                                            False)))
         self.use_pcd = config.get("use_pcd", False)
+        if config.get("use_inter_loss", False):
+            logging.warning(
+                "use_inter_loss is disabled (no inter criterion), matching "
+                "the reference where its construction is commented out "
+                "(train.py:1728-1734)")
         self.lambda_aux = config.get("lambda_aux", 1.0)
         self.lambda_adv = config.get("lambda_adv", 1.0)
         self.lambda_feat_match = config.get("lambda_feat_match", 1.0)
@@ -247,10 +259,11 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
         metrics = {}
         y = batch["y"]
         if has_gen2:
+            # cascade target swap (reference train.py:261-263); the reference's
+            # inter loss on y_/inter is disabled there (train.py:1728-1734),
+            # so the stage-1 output is not compared against the original y
             batch = dict(batch)
-            inter_target = y
             y = batch["x"][0]
-            batch["inter_target"] = inter_target
         rng_g, rng_d, rng_w1, rng_w2, rng_w3 = jax.random.split(rng, 5)
 
         # ---------------- generator update ----------------
@@ -300,7 +313,9 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
                 fm = criterion.feat_match(p_, p)
                 metrics_local["train/feature_matching_loss"] = fm
                 adv = adv + criterion.lambda_feat_match * fm
-            adv_on = (state.steps > disc_start).astype(gen_loss.dtype)
+            # cast via adv (always a traced array; gen_loss can be a Python
+            # float when every aux loss is disabled)
+            adv_on = (state.steps > disc_start).astype(adv.dtype)
             gen_loss = gen_loss + criterion.lambda_adv * adv_on * adv
             metrics_local["train/generator_loss"] = gen_loss
             return gen_loss, (metrics_local, new_mut)

@@ -34,7 +34,7 @@ from articulatory_tpu.utils.io import write_wav
 # keys the jitted step consumes; the collater's extra aliases (audio/art
 # duplicate x/y) would otherwise be transferred to device every step
 _STEP_BATCH_KEYS = ("x", "y", "ar", "ar2", "spk_id", "ph", "mel",
-                    "pitch", "periodicity", "inter_target")
+                    "pitch", "periodicity")
 
 
 def _step_batch(batch: dict) -> dict:
@@ -61,7 +61,21 @@ class Trainer:
         self.total_train_loss: dict = defaultdict(float)
         self._train_count = 0
         self.total_eval_loss: dict = defaultdict(float)
+        # The reference resets its best-eval/mel tracker on every launch
+        # (train.py:114), so a --resume continuation can clobber a better
+        # best_mel_ckpt.pkl with a worse one. We persist the best loss as a
+        # second field in best_mel_step.txt and restore it here.
         self.best_mel_loss = 1.0e6
+        best_p = os.path.join(outdir, "best_mel_step.txt") if outdir else None
+        if best_p and os.path.exists(best_p):
+            try:
+                fields = open(best_p).read().split()
+                if len(fields) >= 2:
+                    self.best_mel_loss = float(fields[1])
+                    logging.info(f"restored best eval/mel_loss "
+                                 f"{self.best_mel_loss:.4f} (step {fields[0]})")
+            except (ValueError, OSError):
+                pass
         self.is_host = jax.process_index() == 0
         if writer is not None:
             self.writer = writer

@@ -31,3 +31,26 @@ def test_bucketed_inference_matches_exact(rng):
                                rtol=1e-4, atol=1e-5)
     # tail deviation exists but is bounded
     assert np.abs(bucketed - exact).max() < 1.0
+
+
+def test_bucketed_inference_downsampling_model(rng):
+    """w2a-style inversion models produce FEWER frames than input samples;
+    the bucket trim must use the rational in/out ratio, not integer-division
+    scale (which is 0 and produced empty outputs)."""
+    import flax.linen as nn
+
+    class Downsample4(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # (B, T, C) -> (B, T//4, C)
+            b, t, c = x.shape
+            return x.reshape(b, t // 4, 4, c).mean(axis=2)
+
+    model_def = Downsample4()
+    model = LoadedModel(model=model_def, params={},
+                        config={"generator_params": {"out_channels": 1}},
+                        mutables={})
+    c = rng.standard_normal((36, 1)).astype(np.float32)
+    out = model.inference(c, bucket_frames=16)  # pads to 48 -> out 12
+    assert out.shape[0] == 36 // 4
+    exact = model.inference(c)
+    np.testing.assert_allclose(out, exact, rtol=1e-6)

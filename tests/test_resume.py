@@ -70,3 +70,24 @@ def test_cli_resume(tmp_path, monkeypatch, rng):
 
     assert np.abs(first_leaf(c3["model"]["generator"])
                   - first_leaf(c6["model"]["generator"])).max() > 0
+
+
+def test_best_mel_restored_across_resume(tmp_path):
+    """A continuation must not clobber a better best_mel_ckpt: the tracker
+    is re-seeded from best_mel_step.txt's second field (our extension over
+    the reference, which resets it to 1e6 on every launch, train.py:114)."""
+    from articulatory_tpu.train.trainer import Trainer
+
+    outdir = str(tmp_path)
+    with open(os.path.join(outdir, "best_mel_step.txt"), "w") as f:
+        f.write("151000 0.1681\n")
+    tr = Trainer(config={}, state=None, train_step=None, eval_step=None,
+                 schedulers={}, data_loader={}, outdir=outdir, writer=object())
+    assert tr.best_mel_loss == pytest.approx(0.1681)
+
+    # reference-format file (steps only) leaves the tracker at the default
+    with open(os.path.join(outdir, "best_mel_step.txt"), "w") as f:
+        f.write("151000\n")
+    tr = Trainer(config={}, state=None, train_step=None, eval_step=None,
+                 schedulers={}, data_loader={}, outdir=outdir, writer=object())
+    assert tr.best_mel_loss == 1.0e6
