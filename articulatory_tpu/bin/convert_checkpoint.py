@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 
 import numpy as np
@@ -67,8 +68,11 @@ def main():
             payload["model"]["discriminator"] = DISCRIMINATOR_IMPORTERS[
                 disc_type](ckpt["model"]["discriminator"],
                            config.get("discriminator_params", {}))
-        except KeyError:
-            pass
+        except KeyError as e:
+            logging.warning(
+                f"discriminator NOT converted (layout mismatch on key {e}); "
+                f"the output checkpoint has no discriminator — training "
+                f"resumed from it will re-init the discriminator randomly")
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "wb") as f:

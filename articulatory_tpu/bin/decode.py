@@ -208,7 +208,12 @@ def main():
                     out = model.inference(c, normalize_before=args.normalize_before,
                                           bucket_frames=args.bucket_frames or None)
                 elapsed = time.time() - start
-                dur = len(c) / sr
+                # input duration: w2a inputs are waveform samples; other
+                # feature-domain modes feed frames at sr/hop_size Hz
+                if dataset_mode == "w2a":
+                    dur = len(c) / sr
+                else:
+                    dur = len(c) * config["hop_size"] / sr
                 np.save(os.path.join(args.outdir, f"{utt_id}_gen.npy"),
                         np.asarray(out).astype(np.float32), allow_pickle=False)
             rtf = elapsed / max(dur, 1e-9)

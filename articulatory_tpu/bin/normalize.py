@@ -49,6 +49,40 @@ def main():
 
     os.makedirs(args.dumpdir, exist_ok=True)
 
+    if (args.feats_scp is not None) == (args.rootdir is not None):
+        raise ValueError("Please specify either --rootdir or --feats-scp.")
+
+    if args.feats_scp is not None:
+        # scp-driven path (reference normalize.py:149-161): features from
+        # feats.scp, audio (unless --skip-wav-copy) paired from wav.scp
+        from articulatory_tpu.data.datasets import MelSCPDataset
+        from articulatory_tpu.utils.io import WavScpLoader
+
+        dataset = MelSCPDataset(args.feats_scp, return_utt_id=True)
+        wav_loader = None
+        if not args.skip_wav_copy:
+            if args.wav_scp is None:
+                raise ValueError("--wav-scp required unless --skip-wav-copy")
+            wav_loader = WavScpLoader(args.wav_scp, segments=args.segments)
+        for utt_id, mel in tqdm(dataset):
+            mel = ((mel - mean) / scale).astype(np.float32)
+            if config["format"] == "hdf5":
+                out = os.path.join(args.dumpdir, f"{utt_id}.h5")
+                write_hdf5(out, "feats", mel)
+                if wav_loader is not None:
+                    audio, _ = wav_loader[utt_id]
+                    write_hdf5(out, "wave", audio.astype(np.float32))
+            elif config["format"] == "npy":
+                np.save(os.path.join(args.dumpdir, f"{utt_id}-feats.npy"),
+                        mel, allow_pickle=False)
+                if wav_loader is not None:
+                    audio, _ = wav_loader[utt_id]
+                    np.save(os.path.join(args.dumpdir, f"{utt_id}-wave.npy"),
+                            audio.astype(np.float32), allow_pickle=False)
+            else:
+                raise ValueError("support only hdf5 or npy format.")
+        return
+
     if config["format"] == "hdf5":
         files = sorted(find_files(args.rootdir, "*.h5"))
         for path in tqdm(files):

@@ -299,15 +299,26 @@ def main():
     batch_sampler = None
     if config.get("batch_sampler_type", "None") != "None":
         lens_path = os.path.join(args.train_dumpdir, "train_audio_lens.npy")
+        audio_lens = None
         if os.path.exists(lens_path):
             audio_lens = np.load(lens_path)
-        else:
+            if len(audio_lens) != len(train_dataset):
+                # stale cache (dataset composition changed, e.g.
+                # remove_short_samples toggled) — recompute
+                audio_lens = None
+        if audio_lens is None:
             audio_lens = np.array([len(train_dataset[i]["audio"])
                                    for i in range(len(train_dataset))])
-            np.save(lens_path, audio_lens)
+            if shard_id == 0:  # atomic write; other ranks computed their own
+                tmp = lens_path + f".tmp{os.getpid()}.npy"
+                np.save(tmp, audio_lens)
+                os.replace(tmp, lens_path)
         assert config["batch_sampler_type"] == "SizeAwareSampler"
-        batch_sampler = SizeAwareSampler(audio_lens,
-                                         **config.get("batch_sampler_params", {}))
+        sampler_params = dict(config.get("batch_sampler_params", {}))
+        # all hosts must draw identical batch packings (the loader shards
+        # the batch list); seed deterministically unless the config says so
+        sampler_params.setdefault("seed", args.seed)
+        batch_sampler = SizeAwareSampler(audio_lens, **sampler_params)
 
     # opt-in device-resident corpus cache: batches are assembled ON device
     # by a jitted crop; the host ships only (utt, start) indices per step.

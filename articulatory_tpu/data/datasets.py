@@ -368,6 +368,15 @@ class AudioSCPDataset:
                  allow_cache: bool = False):
         self.loader = WavScpLoader(wav_scp, segments=segments)
         self.utt_ids = list(self.loader.keys())
+        if audio_length_threshold is not None:
+            # eager length filter (reference scp_dataset.py:83-96)
+            keep = [u for u in self.utt_ids
+                    if self.loader[u][0].shape[0] > audio_length_threshold]
+            if len(keep) != len(self.utt_ids):
+                logging.warning(
+                    f"Some files are filtered by audio length threshold "
+                    f"({len(self.utt_ids)} -> {len(keep)}).")
+            self.utt_ids = keep
         self.return_utt_id = return_utt_id
         self.return_sampling_rate = return_sampling_rate
         self.allow_cache = allow_cache
@@ -406,6 +415,15 @@ class MelSCPDataset:
         else:
             self.loader = HDF5ScpLoader(feats_scp)
         self.utt_ids = list(self.loader.keys())
+        if mel_length_threshold is not None:
+            # eager length filter (reference scp_dataset.py:98-112)
+            keep = [u for u in self.utt_ids
+                    if self.loader[u].shape[0] > mel_length_threshold]
+            if len(keep) != len(self.utt_ids):
+                logging.warning(
+                    f"Some files are filtered by mel length threshold "
+                    f"({len(self.utt_ids)} -> {len(keep)}).")
+            self.utt_ids = keep
         self.return_utt_id = return_utt_id
         self.allow_cache = allow_cache
         self.caches: dict[int, object] = {}

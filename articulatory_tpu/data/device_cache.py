@@ -70,14 +70,12 @@ class DeviceCachedBatcher:
             self.samples = int(config["batch_max_steps"])
             self.frames = self.samples // self.hop
             self.use_ar = gp.get("use_ar", False)
-            # a2w conditions on past waveform (ar2, out_channels=1); w2a on
-            # past features (ar_input / out_channels frames)
+            # both directions condition on ar_input / out_channels past steps
+            # (host collater semantics, collate.py:61): a2w past waveform
+            # samples, w2a past feature frames
             out_ch = gp.get("out_channels", 1)
-            if mode == "a2w":
-                self.ar_len = int(gp.get("ar_input", 512)) if self.use_ar else 0
-            else:
-                self.ar_len = (int(gp.get("ar_input", 512) / out_ch)
-                               if self.use_ar else 0)
+            self.ar_len = (int(gp.get("ar_input", 512) / out_ch)
+                           if self.use_ar else 0)
 
         self._build(dataset)
         self._crop = self._make_crop()

@@ -42,8 +42,16 @@ class DataLoader:
 
     def _batches(self) -> Iterator[list[int]]:
         if self.batch_sampler is not None:
-            for batch in self.batch_sampler:
-                yield batch
+            if self.num_shards > 1:
+                # materialize and wrap-pad the batch list so every host sees
+                # the same number of batches (the sampler must be seeded
+                # identically on all hosts — train.py passes the run seed)
+                batches = list(self.batch_sampler)
+                total = -(-len(batches) // self.num_shards) * self.num_shards
+                batches = batches + batches[: total - len(batches)]
+                yield from batches[self.shard_id::self.num_shards]
+            else:
+                yield from self.batch_sampler
             return
         n = len(self.dataset)
         indices = np.arange(n)
@@ -67,7 +75,10 @@ class DataLoader:
 
     def __len__(self) -> int:
         if self.batch_sampler is not None:
-            return sum(1 for _ in self.batch_sampler)
+            n_batches = sum(1 for _ in self.batch_sampler)
+            if self.num_shards > 1:
+                return -(-n_batches // self.num_shards)
+            return n_batches
         n = -(-len(self.dataset) // self.num_shards)  # wrap-padded shard size
         if self.drop_last:
             return n // self.batch_size
@@ -99,20 +110,25 @@ class DataLoader:
         def producer():
             from collections import deque
 
-            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
-                inflight: deque = deque()
-                for idxs in self._batches():
-                    # bound in-flight work so a slow consumer doesn't make us
-                    # load the whole epoch into memory
-                    while len(inflight) >= self.num_workers + self.prefetch:
+            try:
+                with concurrent.futures.ThreadPoolExecutor(
+                        self.num_workers) as pool:
+                    inflight: deque = deque()
+                    for idxs in self._batches():
+                        # bound in-flight work so a slow consumer doesn't make
+                        # us load the whole epoch into memory
+                        while len(inflight) >= self.num_workers + self.prefetch:
+                            if not _put(inflight.popleft().result()):
+                                return
+                        if stop.is_set():
+                            return
+                        inflight.append(pool.submit(self._load_batch, idxs))
+                    while inflight:
                         if not _put(inflight.popleft().result()):
                             return
-                    if stop.is_set():
-                        return
-                    inflight.append(pool.submit(self._load_batch, idxs))
-                while inflight:
-                    if not _put(inflight.popleft().result()):
-                        return
+            except BaseException as e:  # surface I/O errors to the consumer
+                _put(_ProducerError(e))
+                return
             _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -122,6 +138,8 @@ class DataLoader:
                 item = batch_queue.get()
                 if item is sentinel:
                     break
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             # unblock and retire the producer even if the consumer stopped
@@ -133,6 +151,13 @@ class DataLoader:
                 except queue.Empty:
                     break
             t.join(timeout=30)
+
+
+class _ProducerError:
+    """Wrapper delivering a prefetch-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 def _default_collate(items: Sequence):

@@ -172,13 +172,20 @@ class NativeDataLoader:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.indices) // self.num_shards
+        n = -(-len(self.indices) // self.num_shards)  # wrap-padded shard
         return n // self.batch_size
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self.epoch)
         order = np.asarray(self.indices)
         rng.shuffle(order)
+        if self.num_shards > 1:
+            # wrap-pad so every host yields the SAME number of batches
+            # (DistributedSampler parity, same rationale as loader.py) —
+            # unequal shards would deadlock multi-host SPMD collectives
+            total = -(-len(order) // self.num_shards) * self.num_shards
+            if total > len(order):
+                order = np.concatenate([order, order[: total - len(order)]])
         order = order[self.shard_id::self.num_shards]
         for bi, i in enumerate(range(0, len(order) - self.batch_size + 1,
                                      self.batch_size)):

@@ -5,6 +5,8 @@
 
 set -euo pipefail
 
+. ./path.sh
+
 stage=-1
 stop_stage=3
 n_jobs=8

@@ -58,3 +58,37 @@ def test_dataloader_host_sharding(rng):
     assert sorted(seen) == list(range(12))
     assert len(DataLoader(ds, batch_size=2, collate_fn=collate,
                           shard_id=0, num_shards=2)) == 3
+
+
+def test_batch_sampler_sharded_equal_counts():
+    """Multi-host + batch_sampler: every shard must yield the SAME number of
+    batches (wrap-padded), or SPMD collectives deadlock."""
+    lens = [400] * 15  # -> 7 full batches of 2x400 under max_len 800... vary
+    data = [np.float32([i]) for i in range(15)]
+    counts = []
+    for shard in range(2):
+        sampler = SizeAwareSampler(lens, max_len=800, seed=0)
+        dl = DataLoader(data, collate_fn=lambda xs: xs,
+                        batch_sampler=sampler, shard_id=shard, num_shards=2)
+        counts.append(len(list(dl)))
+    assert counts[0] == counts[1] > 0
+
+
+def test_prefetch_producer_error_propagates():
+    """A failing dataset read inside the prefetch thread must raise in the
+    consumer, not hang the training loop forever."""
+    import pytest
+
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise OSError("corrupt h5")
+            return np.zeros(3, np.float32)
+
+    dl = DataLoader(Boom(), batch_size=2, num_workers=2)
+    with pytest.raises(OSError, match="corrupt h5"):
+        for _ in dl:
+            pass
