@@ -58,13 +58,34 @@ def main():
                    *args.training_script_args]
         processes.append(subprocess.Popen(cmd, env=env))
 
-    failures = []
-    for p in processes:
-        p.wait()
-        if p.returncode != 0:
-            failures.append((p.returncode, p.args))
-    if failures:
-        code, cmd = failures[0]
+    # poll ALL ranks; on the first failure terminate the survivors instead of
+    # leaving them blocked in a collective forever (torch launcher parity)
+    import time as _time
+
+    failure = None
+    while failure is None:
+        running = False
+        for p in processes:
+            rc = p.poll()
+            if rc is None:
+                running = True
+            elif rc != 0:
+                failure = (rc, p.args)
+                break
+        if not running and failure is None:
+            break  # all exited cleanly
+        _time.sleep(0.5)
+    if failure is not None:
+        for p in processes:
+            if p.poll() is None:
+                p.terminate()
+        deadline = _time.time() + 10
+        for p in processes:
+            try:
+                p.wait(timeout=max(0.1, deadline - _time.time()))
+            except subprocess.TimeoutExpired:
+                p.kill()
+        code, cmd = failure
         raise subprocess.CalledProcessError(returncode=code, cmd=cmd)
 
 

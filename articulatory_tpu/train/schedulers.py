@@ -26,7 +26,9 @@ class _Scheduler:
         raise NotImplementedError
 
     def state_dict(self) -> dict:
-        return {k: v for k, v in self.__dict__.items()}
+        # exclude non-serializable members (torch parity: LambdaLR.state_dict
+        # excludes lr_lambda) — checkpoints are msgpack-serialized
+        return {k: v for k, v in self.__dict__.items() if not callable(v)}
 
     def load_state_dict(self, state: dict) -> None:
         self.__dict__.update(state)

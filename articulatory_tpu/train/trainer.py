@@ -76,6 +76,17 @@ class Trainer:
                                  f"{self.best_mel_loss:.4f} (step {fields[0]})")
             except (ValueError, OSError):
                 pass
+        if jax.process_count() > 1:
+            # only process 0 writes best_mel_step.txt; with per-host outdirs
+            # the other ranks would keep 1e6 and the collective best-mel
+            # checkpoint decision would diverge (deadlocking orbax saves) —
+            # broadcast rank 0's restored value to everyone
+            from jax.experimental import multihost_utils
+
+            self.best_mel_loss = float(multihost_utils.broadcast_one_to_all(
+                np.float32(self.best_mel_loss)))
+        self._profiling = False
+        self._pending_sched: dict = {}
         self.is_host = jax.process_index() == 0
         if writer is not None:
             self.writer = writer
@@ -96,6 +107,12 @@ class Trainer:
             while not self.finish_train:
                 self._train_epoch()
         finally:
+            if self._profiling:
+                # training ended inside the profile window — flush the trace
+                from jax import profiler as jax_profiler
+
+                jax_profiler.stop_trace()
+                self._profiling = False
             self.save_checkpoint(
                 os.path.join(self.outdir, f"checkpoint-{self.steps}steps.ckpt"))
             logging.info(f"Successfully saved checkpoint @ {self.steps} steps.")
@@ -153,11 +170,16 @@ class Trainer:
         if prof and self.is_host:
             from jax import profiler as jax_profiler
 
-            if self.steps == int(prof[0]):
+            # range-based + stateful so a --resume landing inside the window
+            # still traces, and never stop without a matching start
+            if (not self._profiling
+                    and int(prof[0]) <= self.steps < int(prof[1])):
                 jax_profiler.start_trace(os.path.join(self.outdir, "profile"))
+                self._profiling = True
                 logging.info(f"profiler trace started @ step {self.steps}")
-            elif self.steps == int(prof[1]):
+            elif self._profiling and self.steps >= int(prof[1]):
                 jax_profiler.stop_trace()
+                self._profiling = False
                 logging.info(f"profiler trace stopped @ step {self.steps}")
         batch = shard_batch(_step_batch(batch), self.mesh)
         self.rng, step_rng = jax.random.split(self.rng)
@@ -170,17 +192,33 @@ class Trainer:
             self.total_train_loss[k] = self.total_train_loss[k] + v
         self._train_count += 1
 
-        # schedulers advance per-step, gated like the reference
+        # schedulers advance per-step, gated like the reference. Plateau
+        # schedulers need the loss VALUE on host; float()-ing the fresh
+        # device array would sync every step (~30 ms relay roundtrip vs
+        # ~5 ms compute). Instead feed the PREVIOUS step's metric — its
+        # computation has finished, so the readback is free; each loss is
+        # consumed exactly once, one step later (immaterial for plateau
+        # detection over thousands of steps).
         gen_start = self.config.get("generator_train_start_steps", 0)
         disc_start = self.config.get("discriminator_train_start_steps", 0)
         if self.steps > gen_start:
-            metric = (float(metrics["train/generator_loss"])
-                      if self._gen_sched_plateau else None)
-            self.schedulers["generator"].step(metric)
+            if self._gen_sched_plateau:
+                prev = self._pending_sched.pop("generator", None)
+                if prev is not None:
+                    self.schedulers["generator"].step(float(prev))
+                self._pending_sched["generator"] = \
+                    metrics["train/generator_loss"]
+            else:
+                self.schedulers["generator"].step(None)
         if self.steps > disc_start:
-            metric = (float(metrics["train/discriminator_loss"])
-                      if self._dis_sched_plateau else None)
-            self.schedulers["discriminator"].step(metric)
+            if self._dis_sched_plateau:
+                prev = self._pending_sched.pop("discriminator", None)
+                if prev is not None:
+                    self.schedulers["discriminator"].step(float(prev))
+                self._pending_sched["discriminator"] = \
+                    metrics["train/discriminator_loss"]
+            else:
+                self.schedulers["discriminator"].step(None)
 
         self.steps += 1
         if self._pbar is not None:
@@ -205,7 +243,10 @@ class Trainer:
                 steps_per_sec = self._train_count / max(elapsed, 1e-9)
                 self.writer.add_scalar("train/steps_per_sec", steps_per_sec,
                                        self.steps)
+                # batch_size is per-process; scale to the global batch before
+                # dividing by the global chip count
                 samples_per_step = (self.config.get("batch_size", 1)
+                                    * jax.process_count()
                                     * self.config.get("batch_max_steps", 0))
                 if samples_per_step:
                     per_chip = (steps_per_sec * samples_per_step
@@ -230,7 +271,8 @@ class Trainer:
 
     # ----------------------------------------------------------------- eval
     def _eval_epoch(self):
-        logging.info(f"(Steps: {self.steps}) Start evaluation.")
+        if self.is_host:
+            logging.info(f"(Steps: {self.steps}) Start evaluation.")
         totals: dict = defaultdict(float)
         count = 0
         first_outputs = None
@@ -247,9 +289,12 @@ class Trainer:
                     # batch-sharded output: only the local shards are
                     # addressable; they hold this host's own utterances
                     # (dedupe by index — replicated axes repeat shards)
-                    uniq = {s.index: s.data for s in y_.addressable_shards}
-                    order = sorted(uniq, key=lambda idx: [s.start or 0
-                                                          for s in idx])
+                    # key by (start, stop) ints — slice objects are only
+                    # hashable on Python 3.12+
+                    uniq = {tuple((sl.start, sl.stop) for sl in s.index):
+                            s.data for s in y_.addressable_shards}
+                    order = sorted(uniq, key=lambda idx: [st or 0
+                                                          for st, _ in idx])
                     first_outputs = np.concatenate(
                         [np.asarray(uniq[k]) for k in order])
                 else:
@@ -257,8 +302,9 @@ class Trainer:
                 first_batch = batch
         if count == 0:
             return
-        logging.info(f"(Steps: {self.steps}) Finished evaluation "
-                     f"({count} steps per epoch).")
+        if self.is_host:
+            logging.info(f"(Steps: {self.steps}) Finished evaluation "
+                         f"({count} steps per epoch).")
         # jitted metrics are replicated scalars — identical on every process,
         # so the best-mel decision stays in sync across hosts
         averages = {k: float(v) / count for k, v in totals.items()}

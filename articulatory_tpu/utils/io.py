@@ -61,18 +61,21 @@ def write_hdf5(hdf5_name: str, hdf5_path: str, write_data, is_overwrite: bool = 
         f.create_dataset(hdf5_path, data=write_data)
 
 
+def _pcm_to_float(data: np.ndarray) -> np.ndarray:
+    """Integer PCM -> float32 in [-1, 1] (passthrough for float data)."""
+    if data.dtype == np.int16:
+        return data.astype(np.float32) / 32768.0
+    if data.dtype == np.int32:
+        return data.astype(np.float32) / 2147483648.0
+    if data.dtype == np.uint8:
+        return (data.astype(np.float32) - 128.0) / 128.0
+    return data.astype(np.float32)
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a wav file -> (float32 waveform in [-1, 1], sample rate)."""
     sr, data = wavfile.read(path)
-    if data.dtype == np.int16:
-        data = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        data = data.astype(np.float32) / 2147483648.0
-    elif data.dtype == np.uint8:
-        data = (data.astype(np.float32) - 128.0) / 128.0
-    else:
-        data = data.astype(np.float32)
-    return data, int(sr)
+    return _pcm_to_float(data), int(sr)
 
 
 def write_wav(path: str, wav: np.ndarray, sr: int, subtype: str = "PCM_16") -> None:
@@ -193,11 +196,7 @@ class WavScpLoader:
             proc = subprocess.run(value[:-1], shell=True, check=True,
                                   stdout=subprocess.PIPE)
             sr, data = wavfile.read(io.BytesIO(proc.stdout))
-            if data.dtype == np.int16:
-                data = data.astype(np.float32) / 32768.0
-            else:
-                data = data.astype(np.float32)
-            return data, int(sr)
+            return _pcm_to_float(data), int(sr)
         return read_wav(value)
 
     def __getitem__(self, key: str) -> tuple[np.ndarray, int]:

@@ -202,3 +202,22 @@ def test_schedulers_match_torch():
         tsched.step(m)
         osched.step(m)
         np.testing.assert_allclose(osched.lr, opt.param_groups[0]["lr"], rtol=1e-9)
+
+
+def test_lambda_lr_state_dict_serializable():
+    """LambdaLR's callable must be excluded from state_dict (torch parity) or
+    msgpack checkpointing crashes at the first save interval."""
+    import flax.serialization
+
+    from articulatory_tpu.train.schedulers import LambdaLR
+
+    sched = LambdaLR(1e-3, lr_lambda=lambda step: 0.95 ** step)
+    sched.step()
+    blob = flax.serialization.msgpack_serialize(
+        {"scheduler": sched.state_dict()})
+    state = flax.serialization.msgpack_restore(blob)
+    fresh = LambdaLR(1e-3, lr_lambda=lambda step: 0.95 ** step)
+    fresh.load_state_dict(state["scheduler"])
+    assert fresh.step_count == 1
+    fresh.step()
+    assert abs(fresh.lr - 1e-3 * 0.95 ** 2) < 1e-12
