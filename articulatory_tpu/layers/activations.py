@@ -19,7 +19,8 @@ def get_activation(name: str, params: dict | None = None) -> Callable[[jax.Array
     if name == "Tanh":
         return jnp.tanh
     if name == "GELU":
-        return jax.nn.gelu
+        # torch.nn.GELU() default is the exact erf form, not tanh approx
+        return lambda x: jax.nn.gelu(x, approximate=False)
     if name == "ELU":
         alpha = params.get("alpha", 1.0)
         return lambda x: jax.nn.elu(x, alpha)
@@ -28,8 +29,16 @@ def get_activation(name: str, params: dict | None = None) -> Callable[[jax.Array
     if name == "Softplus":
         beta = params.get("beta", 1.0)
         threshold = params.get("threshold", 20.0)
-        return lambda x: jnp.where(x * beta > threshold, x,
-                                   jnp.log1p(jnp.exp(beta * x)) / beta)
+
+        def softplus(x):
+            z = beta * x
+            # clamp the exp argument BEFORE evaluating: jnp.where cannot
+            # mask an inf produced in the unselected branch from the
+            # backward pass (classic where-grad NaN pitfall)
+            safe = jnp.where(z > threshold, 0.0, z)
+            return jnp.where(z > threshold, x, jnp.log1p(jnp.exp(safe)) / beta)
+
+        return softplus
     if name == "Sigmoid":
         return jax.nn.sigmoid
     raise ValueError(f"Unsupported activation: {name}")

@@ -43,6 +43,7 @@ class HiFiGANResidualBlock(nn.Module):
     nonlinear_activation: str = "LeakyReLU"
     nonlinear_activation_params: dict = None
     use_weight_norm: bool = True
+    kernel_init: str = "torch_default"
     compute_dtype: object = None
     # >1: input/output are time-packed (B, T/p, p*channels) and the convs run
     # through the space-to-depth transform (ops/packed_conv.py) — numerically
@@ -67,10 +68,12 @@ class HiFiGANResidualBlock(nn.Module):
                           padding=(self.kernel_size - 1) // 2 * dilation,
                           use_bias=self.use_bias,
                           use_weight_norm=self.use_weight_norm,
+                          kernel_init=self.kernel_init,
                           dtype=self.compute_dtype, name=name)(x)
         return _PackedSameConv1d(self.channels, self.kernel_size,
                                  dilation=dilation, use_bias=self.use_bias,
                                  use_weight_norm=self.use_weight_norm,
+                                 kernel_init=self.kernel_init,
                                  time_pack=self.time_pack, name=name)(x)
 
 
@@ -83,6 +86,7 @@ class _PackedSameConv1d(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     use_weight_norm: bool = False
+    kernel_init: str = "torch_default"
     time_pack: int = 4
 
     @nn.compact
@@ -96,7 +100,7 @@ class _PackedSameConv1d(nn.Module):
 
         c_in = xp.shape[-1] // self.time_pack
         shape = (self.kernel_size, c_in, self.features)
-        kinit = _resolve_kernel_init("torch_default", (0, 1))
+        kinit = _resolve_kernel_init(self.kernel_init, (0, 1))
         if self.use_weight_norm:
             w = _weight_norm_param(self, shape, kinit, norm_axes=(0, 1))
         else:
@@ -249,6 +253,13 @@ class GBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # dilated SAME padding dilation*(k-1)//2 only preserves length for
+        # odd k; even kernels break the residual add (in the reference too —
+        # pytorch_layers.py:38 "Assumes kernel_size is odd i think"). Fail
+        # loudly instead of with an opaque broadcast error.
+        assert self.kernel_size % 2 == 1, \
+            "GBlock requires an odd kernel_size (even kernels break the " \
+            "residual length match)"
         pad = (self.kernel_size - 1) // 2
         # first residual pair
         y = jax.nn.relu(x)

@@ -18,6 +18,17 @@ def instance_norm_time(x: Array, eps: float = 1e-5) -> Array:
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
+def _upsample(x: Array, factor: int, mode: str) -> Array:
+    if mode == "nearest":
+        return upsample_nearest(x, factor)
+    if mode == "linear":
+        from articulatory_tpu.ops.interp import interpolate_linear
+
+        return interpolate_linear(x, x.shape[1] * factor)
+    raise ValueError(f"unsupported upsample_mode {mode!r} "
+                     f"(supported: nearest, linear)")
+
+
 def upsample_nearest(x: Array, factor: int) -> Array:
     if factor == 1:
         return x
@@ -37,7 +48,7 @@ class TADELayer(nn.Module):
     @nn.compact
     def __call__(self, x: Array, c: Array) -> tuple[Array, Array]:
         x = instance_norm_time(x)
-        c = upsample_nearest(c, self.upsample_factor)
+        c = _upsample(c, self.upsample_factor, self.upsample_mode)
         c = Conv1d(self.in_channels, self.kernel_size,
                    padding=(self.kernel_size - 1) // 2, use_bias=self.use_bias,
                    use_weight_norm=True, name="aux_conv")(c)
@@ -45,7 +56,7 @@ class TADELayer(nn.Module):
                     padding=(self.kernel_size - 1) // 2, use_bias=self.use_bias,
                     use_weight_norm=True, name="gated_conv")(c)
         cg1, cg2 = jnp.split(cg, 2, axis=-1)
-        y = cg1 * upsample_nearest(x, self.upsample_factor) + cg2
+        y = cg1 * _upsample(x, self.upsample_factor, self.upsample_mode) + cg2
         return y, c
 
 
@@ -88,4 +99,5 @@ class TADEResBlock(nn.Module):
                    name="gated_conv2")(x)
         xa, xb = jnp.split(x, 2, axis=-1)
         x = gate(xa) * jnp.tanh(xb)
-        return upsample_nearest(residual, self.upsample_factor) + x, c
+        return _upsample(residual, self.upsample_factor,
+                         self.upsample_mode) + x, c

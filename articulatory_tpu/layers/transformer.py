@@ -52,13 +52,18 @@ class MultiHeadAttention(nn.Module):
         """x: (B, L, d_model) -> (B, L, d_model)."""
         d_qkv = self.d_model // self.n_head
         assert d_qkv * self.n_head == self.d_model
-        xavier = nn.initializers.normal(
-            stddev=float(np.sqrt(2.0 / (self.d_model + d_qkv))))
+        # torch xavier_normal_ semantics for 3-D tensors (reference
+        # pytorch_layers.py:189-196): fan_in = size(1)*prod(dims[2:]),
+        # fan_out = size(0)*prod(dims[2:])
+        # w_qkv (H, D, Dq): std = sqrt(2 / (Dq * (D + H)))
+        xavier = nn.initializers.normal(stddev=float(
+            np.sqrt(2.0 / (d_qkv * (self.d_model + self.n_head)))))
         w_q = self.param("w_q", xavier, (self.n_head, self.d_model, d_qkv))
         w_k = self.param("w_k", xavier, (self.n_head, self.d_model, d_qkv))
         w_v = self.param("w_v", xavier, (self.n_head, self.d_model, d_qkv))
-        w_o = self.param("w_o", nn.initializers.normal(
-            stddev=float(np.sqrt(2.0 / (self.d_model + d_qkv)))),
+        # w_o (H, Dq, D): std = sqrt(2 / (D * (Dq + H)))
+        w_o = self.param("w_o", nn.initializers.normal(stddev=float(
+            np.sqrt(2.0 / (self.d_model * (d_qkv + self.n_head))))),
             (self.n_head, d_qkv, self.d_model))
 
         q = jnp.einsum("btf,hfa->bhta", x, w_q)

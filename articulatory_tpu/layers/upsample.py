@@ -47,7 +47,18 @@ class UpsampleNetwork(nn.Module):
         assert (self.freq_axis_kernel_size - 1) % 2 == 0
         freq_pad = (self.freq_axis_kernel_size - 1) // 2
         for i, scale in enumerate(self.upsample_scales):
-            c = stretch_time(c, scale)
+            # honor the config's interpolate_mode (reference Stretch2d
+            # passes it to F.interpolate) instead of silently ignoring it
+            if self.interpolate_mode == "nearest":
+                c = stretch_time(c, scale)
+            elif self.interpolate_mode == "linear":
+                from articulatory_tpu.ops.interp import interpolate_linear
+
+                c = interpolate_linear(c, c.shape[1] * scale)
+            else:
+                raise ValueError(
+                    f"unsupported interpolate_mode {self.interpolate_mode!r} "
+                    f"(supported: nearest, linear)")
             kernel = (self.freq_axis_kernel_size, scale * 2 + 1)
 
             def det_init(key, shape, _k=kernel):

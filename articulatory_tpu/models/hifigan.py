@@ -127,9 +127,13 @@ class HiFiGANGenerator(nn.Module):
             c = c.astype(self.compute_dtype)
         from articulatory_tpu.ops.packed_conv import pack_time, unpack_time
 
+        # with weight norm OFF the reference's post-norm N(0, 0.01) reset is
+        # effective (it is a no-op only under weight norm) — mirror that
+        # regime, same as gblock_gen.py
+        kinit = "torch_default" if self.use_weight_norm else "normal:0.01"
         c = Conv1d(self.channels, self.kernel_size,
                    padding=(self.kernel_size - 1) // 2, use_bias=True,
-                   use_weight_norm=self.use_weight_norm,
+                   use_weight_norm=self.use_weight_norm, kernel_init=kinit,
                    dtype=self.compute_dtype, name="input_conv")(c)
         for i in range(len(self.upsample_scales)):
             ch = self.channels // (2 ** (i + 1))
@@ -138,6 +142,7 @@ class HiFiGANGenerator(nn.Module):
                                 stride=self.upsample_scales[i], padding=pads[i],
                                 output_padding=out_pads[i],
                                 use_weight_norm=self.use_weight_norm,
+                                kernel_init=kinit,
                                 dtype=self.compute_dtype,
                                 name=f"upsample_{i}")(c)
             if self.time_packing is None:
@@ -159,7 +164,7 @@ class HiFiGANGenerator(nn.Module):
                     nonlinear_activation=self.nonlinear_activation,
                     nonlinear_activation_params=(self.nonlinear_activation_params
                                                  or {"negative_slope": 0.1}),
-                    use_weight_norm=self.use_weight_norm,
+                    use_weight_norm=self.use_weight_norm, kernel_init=kinit,
                     compute_dtype=self.compute_dtype, time_pack=p,
                     name=f"block_{i}_{j}")(c)
             c = cs / num_blocks
@@ -171,7 +176,7 @@ class HiFiGANGenerator(nn.Module):
         out = jnp.where(pre_out >= 0, pre_out, 0.01 * pre_out)
         out = Conv1d(self.out_channels, self.kernel_size,
                      padding=(self.kernel_size - 1) // 2,
-                     use_weight_norm=self.use_weight_norm,
+                     use_weight_norm=self.use_weight_norm, kernel_init=kinit,
                      dtype=self.compute_dtype, name="output_conv")(out)
         if self.use_tanh:
             out = jnp.tanh(out)
@@ -196,14 +201,12 @@ class HiFiGANGenerator(nn.Module):
 
 
 def _avg_pool1d(x: Array, kernel_size: int, stride: int, padding: int) -> Array:
-    """torch.nn.AvgPool1d semantics (count_include_pad=True) over NLC time axis."""
-    y = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add,
-        window_dimensions=(1, kernel_size, 1),
-        window_strides=(1, stride, 1),
-        padding=((0, 0), (padding, padding), (0, 0)),
-    )
-    return y / kernel_size
+    """torch.nn.AvgPool1d semantics (count_include_pad=True) over NLC time
+    axis; single implementation shared with MelGAN."""
+    from articulatory_tpu.models.melgan import avg_pool1d
+
+    return avg_pool1d(x, kernel_size, stride, padding,
+                      count_include_pad=True)
 
 
 class HiFiGANPeriodDiscriminator(nn.Module):
@@ -339,10 +342,6 @@ class HiFiGANScaleDiscriminator(nn.Module):
                    name=f"layer_{li + 1}")(x)
         outs.append(x)
         return outs
-
-
-def avg_pool1d(x: Array, kernel_size: int, stride: int, padding: int) -> Array:
-    return _avg_pool1d(x, kernel_size, stride, padding)
 
 
 class HiFiGANMultiScaleDiscriminator(nn.Module):

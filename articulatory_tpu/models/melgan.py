@@ -60,6 +60,10 @@ class MelGANGenerator(nn.Module):
     pad: str = "ReflectionPad1d"
     pad_params: dict = None
     use_final_nonlinear_activation: bool = True
+    # NOTE: with use_weight_norm=False the reference's post-norm
+    # N(0, 0.02) reset becomes effective; this port keeps torch
+    # default init in that (rare, non-recipe) regime — see
+    # hifigan.py/gblock_gen.py for the mirrored behavior.
     use_weight_norm: bool = True
     use_causal_conv: bool = False
 

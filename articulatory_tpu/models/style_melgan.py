@@ -39,6 +39,10 @@ class StyleMelGANGenerator(nn.Module):
     upsample_scales: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2, 1)
     upsample_mode: str = "nearest"
     gated_function: str = "softmax"
+    # NOTE: with use_weight_norm=False the reference's post-norm
+    # N(0, 0.02) reset becomes effective; this port keeps torch
+    # default init in that (rare, non-recipe) regime — see
+    # hifigan.py/gblock_gen.py for the mirrored behavior.
     use_weight_norm: bool = True
 
     @property
@@ -134,6 +138,13 @@ class StyleMelGANDiscriminator(nn.Module):
         outs = []
         for _ in range(self.repeats):
             for idx, (ws, pq) in enumerate(zip(self.window_sizes, self.pqmf_params)):
+                # the reference's np.random.randint raises for T <= ws; a
+                # jax randint over an empty/negative range is silently
+                # undefined, so guard explicitly (trace-time shape check)
+                if x.shape[1] <= ws:
+                    raise ValueError(
+                        f"input length {x.shape[1]} must exceed the largest "
+                        f"random window size {ws} (batch_max_steps too small)")
                 key = self.make_rng("window")
                 start = jax.random.randint(key, (), 0, x.shape[1] - ws)
                 x_ = jax.lax.dynamic_slice_in_dim(x, start, ws, axis=1)

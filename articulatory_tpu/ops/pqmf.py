@@ -64,6 +64,12 @@ class PQMF:
         self.synthesis_filter = jnp.asarray(h_synthesis.T[:, :, None])
 
     def analysis(self, x: jax.Array) -> jax.Array:
+        # padding (pad, pad - (subbands-1)) reproduces the reference's
+        # pad -> conv -> strided-downsample chain exactly, INCLUDING for
+        # non-divisible T: the reference's updown filter has kernel length
+        # `subbands`, so its output is floor((T - subbands)/subbands) + 1
+        # frames — verified against a torch re-enactment at T=1001, s=4
+        # (both give 250 frames, not ceil(T/s)=251)
         pad = self.taps // 2
         y = lax.conv_general_dilated(
             x, self.analysis_filter,
