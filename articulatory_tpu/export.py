@@ -52,6 +52,12 @@ def to_tf_module(model, variables, example_inputs: tuple, **apply_kwargs):
         input_signature=[tf.TensorSpec(x.shape, x.dtype)
                          for x in example_inputs],
         autograph=False)
-    module = tf.Module()
-    module.__call__ = tf_fn
+    # __call__ must live on the TYPE for the instance to be callable —
+    # assigning it as an instance attribute makes `m(x)` raise TypeError
+    class _ExportedModule(tf.Module):
+        def __call__(self, *inputs):
+            return self.f(*inputs)
+
+    module = _ExportedModule()
+    module.f = tf_fn  # named attribute also makes SavedModel export natural
     return module

@@ -4,8 +4,10 @@
 Measures wav samples/sec/chip for the flagship EMA-to-waveform config
 (conf/e2w_hifigan.yaml shapes: 141 input channels incl. 128 AR features,
 channels 512, 80x upsample, chunked-AR decode with 8000-sample chunks).
-The AR recurrence runs as a compiled lax.scan; multiple utterances are
-batched through the scan to fill the chip.
+The AR recurrence is a host-driven loop over a per-chunk jitted forward
+(lax.scan over the generator compiles pathologically slowly on the remote
+TPU — see CLAUDE.md); multiple utterances are batched per chunk to fill
+the chip, and chunks stay device-resident with one scalar sync at the end.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "samples_per_sec_per_chip",
@@ -75,19 +77,19 @@ def main():
     def synthesize(params, chunks):
         prev = jnp.zeros((BATCH, AR_INPUT, 1), jnp.float32)
         total = 0
-        for cin in chunk_list:
+        for cin in chunks:
             out, prev = chunk_fwd(params, cin, prev)
             total += out.size
         return total, jnp.sum(out)
 
     # warmup / compile
-    samples_per_iter, chk = synthesize(params, feats)
+    samples_per_iter, chk = synthesize(params, chunk_list)
     float(chk)
 
     n_iters = 3
     start = time.perf_counter()
     for i in range(n_iters):
-        _, chk = synthesize(params, feats)
+        _, chk = synthesize(params, chunk_list)
         float(chk)  # host sync (depends on the iteration's full AR chain)
     elapsed = time.perf_counter() - start
 

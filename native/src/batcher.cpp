@@ -96,14 +96,18 @@ bool load_npy(const std::string& path, NpyArray& out) {
   out.data.resize(n);
   if (descr == "<f4") {
     f.read(reinterpret_cast<char*>(out.data.data()), n * 4);
+    // a truncated payload sets failbit+eofbit but gcount() exposes the
+    // short read — reject it instead of training on a zero-filled tail
+    if (f.gcount() != static_cast<std::streamsize>(n * 4)) return false;
   } else if (descr == "<f8") {
     std::vector<double> tmp(n);
     f.read(reinterpret_cast<char*>(tmp.data()), n * 8);
+    if (f.gcount() != static_cast<std::streamsize>(n * 8)) return false;
     for (int64_t i = 0; i < n; i++) out.data[i] = static_cast<float>(tmp[i]);
   } else {
     return false;
   }
-  return f.good() || f.eof();
+  return true;
 }
 
 // ------------------------------------------------------------- thread pool
@@ -216,6 +220,9 @@ int64_t ab_add_utterance(void* handle, const char* audio_npy,
   // truncate art to len(audio)/hop (collater invariant, train.py:986)
   int64_t max_frames = u.audio.rows / b->hop_size;
   if (u.art.rows > max_frames) u.art.rows = max_frames;
+  // the collate output buffer is sized from utterance 0's channel count; a
+  // heterogeneous corpus would write out of bounds — reject it here
+  if (!b->utts.empty() && u.art.cols != b->utts[0].art.cols) return -1;
   b->utts.push_back(std::move(u));
   return static_cast<int64_t>(b->utts.size() - 1);
 }
