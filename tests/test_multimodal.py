@@ -95,3 +95,45 @@ def test_art_scp_mult_dataset(tmp_path, rng):
     assert len(ds) == 2
     uid, art, mod = ds[1]
     assert uid == "u1" and art.shape == (40, 12) and mod == 1
+
+
+def test_ar_loop_modality_shift_register(rng):
+    """a2w_mult decode with ar_input > chunk: the modality branch must apply
+    the same shift-register AR update as the non-modality branch (reference
+    decode.py:77-81) — before the fix `prev` stayed all-zeros forever."""
+    import jax.numpy as jnp
+
+    from articulatory_tpu.inference import ar_loop
+
+    hop, chunk = 4, 16  # 4-frame input chunks -> 16 output samples
+    seen_ars = []
+
+    class _StubMultModel:
+        """Callable taking the in_list input; returns a constant-slope ramp
+        so AR content is predictable."""
+
+        def __call__(self, cin_list, ar=None):
+            seen_ars.append(np.asarray(ar))
+            t_in = cin_list[0].shape[1]
+            out = jnp.broadcast_to(
+                jnp.arange(1, t_in * hop + 1, dtype=jnp.float32)[None, :, None],
+                (1, t_in * hop, 1))
+            return out
+
+    config = {
+        "dataset_mode": "a2w_mult", "batch_max_steps": chunk, "hop_size": hop,
+        "sampling_rate": 16000, "hop_sizes": [hop], "sampling_rates": [16000],
+        "generator_params": {
+            "out_channels": 1, "use_ar": True, "ar_input": 32,  # > chunk
+            "in_list": ["ema"]},
+    }
+    x = rng.standard_normal((12, 3)).astype(np.float32)  # 3 chunks of 4
+    out = ar_loop(_StubMultModel(), x, config, modality=0)
+    assert out.shape == (48,)  # 12 frames * hop
+    # chunk 1 must see zeros; later chunks must see updated (nonzero) AR
+    assert np.all(seen_ars[0] == 0)
+    assert np.any(seen_ars[1] != 0), "shift register never updated"
+    # the register keeps the last 32 outputs: 16 from chunk k-2 tail + 16
+    # from chunk k-1 (ramp 1..16 twice after two chunks)
+    np.testing.assert_allclose(seen_ars[2][0, -16:, 0],
+                               np.arange(1, 17, dtype=np.float32))
