@@ -257,17 +257,9 @@ def main():
     is_distributed = (args.coordinator_address is not None
                       or "JAX_COORDINATOR_ADDRESS" in os.environ)
     if is_distributed:
-        # resolve the rank BEFORE touching the compile cache: multi-process
-        # runs launched via CLI flags (no JAX_PROCESS_ID env) must get the
-        # same per-process cache policy as env-var launches
         pid = args.process_id
         if pid is None and "JAX_PROCESS_ID" in os.environ:
             pid = int(os.environ["JAX_PROCESS_ID"])
-        enable_compilation_cache(process_id=pid)
-    else:
-        enable_compilation_cache()
-
-    if is_distributed:
         coord = args.coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
         nproc = args.num_processes
         if nproc is None and "JAX_NUM_PROCESSES" in os.environ:
@@ -278,6 +270,12 @@ def main():
             # non-rank-0 stdout squelch, matching the reference
             # (train.py:1461-1463)
             logging.getLogger().setLevel(logging.WARNING)
+        # cache policy AFTER distributed init: enable_compilation_cache now
+        # probes the default backend for its platform fingerprint, and
+        # backends must not initialize before jax.distributed.initialize
+        enable_compilation_cache(process_id=pid)
+    else:
+        enable_compilation_cache()
 
     with open(args.config) as f:
         config = yaml.load(f, Loader=yaml.Loader)
