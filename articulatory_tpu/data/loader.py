@@ -23,6 +23,19 @@ class DataLoader:
                  num_workers: int = 0, seed: int = 0,
                  shard_id: int = 0, num_shards: int = 1,
                  prefetch: int = 2):
+        if batch_sampler is not None and num_shards > 1:
+            # A sharded batch_sampler guarantees equal batch COUNTS across
+            # hosts but not equal per-step SHAPES: SizeAwareSampler packs
+            # variable batch sizes and 'pad' collation pads to the per-batch
+            # max length, so ranks would compile different executables and
+            # the first cross-host collective deadlocks. The reference never
+            # combines them either (its DistributedSampler and batch_sampler
+            # paths are exclusive, train.py:1609-1641).
+            raise ValueError(
+                "batch_sampler is not supported with num_shards > 1: "
+                "variable per-batch shapes cannot be made globally uniform "
+                "across hosts. Use batch_size + package_mode "
+                "window/random_window for multi-host training.")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -35,23 +48,29 @@ class DataLoader:
         self.num_shards = num_shards
         self.prefetch = max(1, prefetch)
         self.epoch = 0
+        self._sampler_cache: list[list[int]] | None = None
+        self._sampler_cache_epoch: int | None = None
 
     def set_epoch(self, epoch: int) -> None:
         """Reseed the shuffle per epoch (DistributedSampler.set_epoch parity)."""
         self.epoch = epoch
 
+    def _sampler_batches(self) -> list[list[int]]:
+        """Materialize the sampler's batch list once per epoch.
+
+        ``__len__`` and iteration share the cache, so neither perturbs the
+        sampler (SizeAwareSampler iteration is idempotent per epoch, but
+        caching also avoids re-packing on every ``len()`` call)."""
+        if self._sampler_cache_epoch != self.epoch:
+            if hasattr(self.batch_sampler, "set_epoch"):
+                self.batch_sampler.set_epoch(self.epoch)
+            self._sampler_cache = list(self.batch_sampler)
+            self._sampler_cache_epoch = self.epoch
+        return self._sampler_cache
+
     def _batches(self) -> Iterator[list[int]]:
         if self.batch_sampler is not None:
-            if self.num_shards > 1:
-                # materialize and wrap-pad the batch list so every host sees
-                # the same number of batches (the sampler must be seeded
-                # identically on all hosts — train.py passes the run seed)
-                batches = list(self.batch_sampler)
-                total = -(-len(batches) // self.num_shards) * self.num_shards
-                batches = batches + batches[: total - len(batches)]
-                yield from batches[self.shard_id::self.num_shards]
-            else:
-                yield from self.batch_sampler
+            yield from self._sampler_batches()
             return
         n = len(self.dataset)
         indices = np.arange(n)
@@ -75,10 +94,7 @@ class DataLoader:
 
     def __len__(self) -> int:
         if self.batch_sampler is not None:
-            n_batches = sum(1 for _ in self.batch_sampler)
-            if self.num_shards > 1:
-                return -(-n_batches // self.num_shards)
-            return n_batches
+            return len(self._sampler_batches())
         n = -(-len(self.dataset) // self.num_shards)  # wrap-padded shard size
         if self.drop_last:
             return n // self.batch_size

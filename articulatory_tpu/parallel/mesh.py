@@ -99,7 +99,13 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
             # pad the local batch (repeating the last row) up to this host's
             # share of the data axis, so tail batches still shard. All hosts
             # see identical local batch sizes (wrap-padded DataLoader), so
-            # the resulting global shape is consistent.
+            # the resulting global shape is consistent. NOTE: duplicated rows
+            # carry full weight in mean losses/metrics. Training and dev
+            # loaders use drop_last=True so this path never triggers for
+            # gradient steps with a divisible batch size; when it does
+            # trigger (remainder eval batches, or batch_size not divisible
+            # by the per-host device share), the duplicated rows slightly
+            # bias the interval averages toward the repeated sample.
             per_host = max(1, n // nproc)
             rem = x.shape[0] % per_host
             if rem:

@@ -60,18 +60,49 @@ def test_dataloader_host_sharding(rng):
                           shard_id=0, num_shards=2)) == 3
 
 
-def test_batch_sampler_sharded_equal_counts():
-    """Multi-host + batch_sampler: every shard must yield the SAME number of
-    batches (wrap-padded), or SPMD collectives deadlock."""
-    lens = [400] * 15  # -> 7 full batches of 2x400 under max_len 800... vary
+def test_batch_sampler_sharded_rejected():
+    """Multi-host + batch_sampler is rejected at construction: equal batch
+    COUNTS can be arranged by wrap-padding, but per-step SHAPES (variable
+    batch sizes from size-aware packing + pad-to-batch-max collation) cannot
+    be made globally uniform, so ranks would compile different executables
+    and deadlock on the first collective."""
+    import pytest
+
+    lens = [400] * 15
     data = [np.float32([i]) for i in range(15)]
-    counts = []
-    for shard in range(2):
-        sampler = SizeAwareSampler(lens, max_len=800, seed=0)
-        dl = DataLoader(data, collate_fn=lambda xs: xs,
-                        batch_sampler=sampler, shard_id=shard, num_shards=2)
-        counts.append(len(list(dl)))
-    assert counts[0] == counts[1] > 0
+    sampler = SizeAwareSampler(lens, max_len=800, seed=0)
+    with pytest.raises(ValueError, match="batch_sampler"):
+        DataLoader(data, collate_fn=lambda xs: xs,
+                   batch_sampler=sampler, shard_id=1, num_shards=2)
+
+
+def test_size_aware_sampler_idempotent_iteration_and_epochs():
+    """Iterating twice (e.g. a len() probe) must not change the packing;
+    set_epoch must. Load-bearing for multi-host determinism."""
+    lens = [300, 500, 200, 700, 400, 600, 350, 450]
+    sampler = SizeAwareSampler(lens, max_len=1000, seed=3)
+    first, second = list(sampler), list(sampler)
+    assert first == second
+    sampler.set_epoch(1)
+    assert list(sampler) != first  # epoch reshuffle takes effect
+    sampler.set_epoch(0)
+    assert list(sampler) == first  # and is a pure function of (seed, epoch)
+
+
+def test_dataloader_len_does_not_perturb_batches():
+    """len() on a batch_sampler-backed loader must not consume sampler RNG
+    or change the batches the subsequent iteration yields."""
+    lens = [300, 500, 200, 700, 400, 600, 350, 450]
+    data = [np.float32([i]) for i in range(len(lens))]
+    mk = lambda: DataLoader(data, collate_fn=lambda xs: xs,
+                            batch_sampler=SizeAwareSampler(
+                                lens, max_len=1000, seed=3))
+    dl = mk()
+    n = len(dl)
+    with_len = [tuple(int(x[0]) for x in b) for b in dl]
+    without_len = [tuple(int(x[0]) for x in b) for b in mk()]
+    assert with_len == without_len
+    assert n == len(with_len)
 
 
 def test_prefetch_producer_error_propagates():
