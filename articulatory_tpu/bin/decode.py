@@ -27,6 +27,7 @@ from articulatory_tpu.data.datasets import (
     MelDataset,
     MelSCPDataset,
 )
+from articulatory_tpu.data.collate import is_wave_output_mode
 from articulatory_tpu.data.transforms import get_transform
 from articulatory_tpu.inference import ar_loop, load_model
 from articulatory_tpu.utils.io import read_hdf5, write_wav
@@ -136,10 +137,14 @@ def main():
     hop = config["hop_size"]
 
     do_wsola = bool(config.get("wsola", False))
-    wave_modes = ("default", "a2w", "a2w_pcd", "a2w_mult", "m2w")
+    # wave output for named wave modes AND generic x2y modes (whose y resolves
+    # to audio — e.g. the shipped mri mode, see data/collate.py
+    # parse_dataset_mode); the reference instead refuses such modes at its
+    # dataset dispatch (decode.py:266)
+    is_wave = is_wave_output_mode(dataset_mode)
 
-    if (args.decode_batch_size > 1 and use_ar and not do_wsola
-            and dataset_mode in ("a2w", "default", "m2w")):
+    if (args.decode_batch_size > 1 and use_ar and not do_wsola and is_wave
+            and dataset_mode not in ("a2w_mult", "a2w_pcd")):
         from articulatory_tpu.inference import ar_loop_batched
 
         items = [(it[0], np.asarray(it[1], np.float32)) for it in dataset]
@@ -175,7 +180,7 @@ def main():
             else:
                 c = np.asarray(c, np.float32)
             start = time.time()
-            if dataset_mode in wave_modes:
+            if is_wave:
                 if use_ar:
                     out = ar_loop(model, c, config, do_wsola=do_wsola,
                                   modality=modality)

@@ -38,6 +38,58 @@ def _as_2d(a: np.ndarray) -> np.ndarray:
     return a[:, None] if a.ndim == 1 else a
 
 
+def parse_dataset_mode(dataset_mode: str) -> tuple[str, str, bool, bool, bool]:
+    """Resolve ``dataset_mode`` -> (x_key, y_key, use_audio, use_mel, use_art).
+
+    Reference semantics (train.py:940-963): the named modes map explicitly;
+    anything else takes the generic ``split('2')`` branch with
+    use_audio/use_art True. The generic branch's raw keys are NOT keys the
+    collater's batch dict contains — the reference would KeyError at
+    ``batch[self.x_key]`` (train.py:1069-1070) on e.g. the shipped mri mode
+    ``tracks_npy_minc_punc2wav_adobe_0p9_punc`` (mri2w_hifigan_car.yaml:27,
+    whose own comment says "art or default"). We instead resolve unknown
+    generic names onto the streams the branch actually loads: x -> 'art',
+    y -> 'audio' (the articulatory-to-wave intent of every such mode), with
+    a warning, so the shipped mri config trains and decodes verbatim.
+    """
+    named = {
+        "a2w": ("art", "audio", True, False, True),
+        "w2a": ("audio", "art", True, False, True),
+        "ph2a": ("ph", "art", False, False, True),
+        "ph2m": ("ph", "mel", False, True, False),
+        "m2w": ("mel", "audio", True, True, False),
+    }
+    if dataset_mode in named:
+        return named[dataset_mode]
+    xy = dataset_mode.split("2")
+    x_key, y_key = xy[0], xy[1]
+    produced = {"art", "audio"}  # generic branch: use_audio=True, use_art=True
+    if x_key not in produced:
+        logging.warning(
+            f"dataset_mode {dataset_mode!r}: input stream {x_key!r} is not a "
+            f"collater key; resolving to 'art' (the reference raises KeyError "
+            f"here, train.py:1069)")
+        x_key = "art"
+    if y_key not in produced:
+        logging.warning(
+            f"dataset_mode {dataset_mode!r}: output stream {y_key!r} is not a "
+            f"collater key; resolving to 'audio' (the reference raises "
+            f"KeyError here, train.py:1070)")
+        y_key = "audio"
+    return x_key, y_key, True, False, True
+
+
+def is_wave_output_mode(dataset_mode: str) -> bool:
+    """True when decoding this mode produces waveform output (write .wav).
+
+    Named wave modes plus every generic x2y mode (whose y resolves to
+    'audio' — see parse_dataset_mode)."""
+    if dataset_mode in ("default", "a2w", "a2w_pcd", "a2w_mult", "m2w"):
+        return True
+    named_non_wave = ("w2a", "ph2a", "ph2m", "a2m", "m2a", "art")
+    return dataset_mode not in named_non_wave and "2" in dataset_mode
+
+
 class SpeechCollater:
     """Main training collater (dataset_mode 'a2w'/'w2a'/'ph2a'/'ph2m'/'m2w'/x2y)."""
 
@@ -56,6 +108,8 @@ class SpeechCollater:
         self.rng = rng or np.random.default_rng()
         config = config or {}
         gp = config.get("generator_params", {})
+        (self.x_key, self.y_key, self.use_audio, self.use_mel,
+         self.use_art) = parse_dataset_mode(dataset_mode)
         self.use_ar = gp.get("use_ar", False)
         if self.use_ar:
             self.ar_len = int(gp.get("ar_input", 512) / gp.get("out_channels", 1))
@@ -63,7 +117,12 @@ class SpeechCollater:
             if "generator2_params" in config:
                 g2 = config["generator2_params"]
                 self.ar2_len = int(g2.get("ar_input", 512) / g2.get("out_channels", 1))
-            elif dataset_mode in ("a2w", "m2w"):
+            elif self.y_key == "audio":
+                # waveform-output modes carry waveform-domain AR ('ar2').
+                # Generalizes the reference's ("a2w", "m2w") check
+                # (train.py:903-905) to generic x2y modes, whose y resolves
+                # to audio (the reference crashes on those before reaching
+                # its AR branch — see parse_dataset_mode)
                 self.ar2_len = self.ar_len
                 self.ar_len = None
         else:
@@ -82,26 +141,6 @@ class SpeechCollater:
         self.end_offset = -(self.batch_max_frames + aux_context_window)
         self.audio_seq_len = batch_max_steps
         self.art_seq_len = self.batch_max_frames
-
-        if dataset_mode == "a2w":
-            self.x_key, self.y_key = "art", "audio"
-            self.use_audio, self.use_mel, self.use_art = True, False, True
-        elif dataset_mode == "w2a":
-            self.x_key, self.y_key = "audio", "art"
-            self.use_audio, self.use_mel, self.use_art = True, False, True
-        elif dataset_mode == "ph2a":
-            self.x_key, self.y_key = "ph", "art"
-            self.use_audio, self.use_mel, self.use_art = False, False, True
-        elif dataset_mode == "ph2m":
-            self.x_key, self.y_key = "ph", "mel"
-            self.use_audio, self.use_mel, self.use_art = False, True, False
-        elif dataset_mode == "m2w":
-            self.x_key, self.y_key = "mel", "audio"
-            self.use_audio, self.use_mel, self.use_art = True, True, False
-        else:
-            xy = dataset_mode.split("2")
-            self.x_key, self.y_key = xy[0], xy[1]
-            self.use_audio, self.use_mel, self.use_art = True, False, True
 
     def __call__(self, batch: list[dict]) -> dict:
         audios, arts, spk_ids, phs, mels = [], [], [], [], []
