@@ -1,7 +1,12 @@
-# Job-launcher backend selection (reference cmd.sh parity).
-# "local" runs shards with utils/run_jobs.py on this host; point train_cmd at
-# your scheduler wrapper (slurm: srun, sge: qsub wrapper) for cluster runs.
-backend=local
-train_cmd="python3 utils/run_jobs.py"
-cuda_cmd="python3 utils/run_jobs.py"
-decode_cmd="python3 utils/run_jobs.py"
+# Job-launcher backend selection (reference cmd.sh:31-92 parity).
+# "local" runs shards as subprocesses on this host; "stdout" logs to stdout;
+# "slurm" submits sbatch --wait --array jobs; "sge" submits qsub -sync y -t
+# array jobs; "ssh" round-robins over hosts listed in .queue/machines.
+# All five go through utils/run_jobs.py (the run.pl-family replacement),
+# which maps the unified --mem/--time/--num-threads/--gpu/--max-jobs-run
+# options onto each scheduler.
+cmd_backend=local
+export RUN_JOBS_BACKEND=${cmd_backend}
+train_cmd="python3 utils/run_jobs.py --backend ${cmd_backend}"
+cuda_cmd="python3 utils/run_jobs.py --backend ${cmd_backend}"
+decode_cmd="python3 utils/run_jobs.py --backend ${cmd_backend}"

@@ -6,6 +6,7 @@
 set -euo pipefail
 
 . ./path.sh
+. ./cmd.sh
 
 stage=-1
 stop_stage=3
@@ -43,7 +44,7 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
         shards=""
         for j in $(seq 1 ${n_jobs}); do shards="${shards} ${dumpdir}/wav.${j}.scp"; done
         python3 utils/split_scp.py "data/${name}/wav.scp" ${shards}
-        python3 utils/run_jobs.py JOB=1:${n_jobs} "log/preprocess.${name}.JOB.log" \
+        ${train_cmd} JOB=1:${n_jobs} "log/preprocess.${name}.JOB.log" \
             python3 -m articulatory_tpu.bin.preprocess \
                 --wav-scp "${dumpdir}/wav.JOB.scp" \
                 --dumpdir "${dumpdir}" --config "${conf}" --verbose 0

@@ -1,0 +1,113 @@
+"""Job-launcher backend selection (reference cmd.sh:31-92, run.pl family).
+
+Pure command-construction tests — no scheduler needed. Plus an executed
+local-backend smoke test (the default path run.sh actually uses).
+"""
+
+import importlib.util
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUN_JOBS = os.path.join(ROOT, "egs", "ema", "voc1", "utils", "run_jobs.py")
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location("run_jobs", RUN_JOBS)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ema_and_mri_launchers_identical():
+    mri = os.path.join(ROOT, "egs", "mri", "voc1", "utils", "run_jobs.py")
+    assert open(RUN_JOBS).read() == open(mri).read()
+
+
+def test_parse_args_array_and_options():
+    rj = _load()
+    opts, lo, hi, logpat, cmd = rj.parse_args(
+        ["--backend", "slurm", "--mem", "4G", "--time", "12:00:00",
+         "--num-threads", "2", "--gpu", "1", "--max-jobs-run", "5",
+         "JOB=1:10", "log/x.JOB.log", "echo", "JOB"])
+    assert (opts.backend, lo, hi) == ("slurm", 1, 10)
+    assert logpat == "log/x.JOB.log" and cmd == ["echo", "JOB"]
+    assert (opts.mem, opts.time, opts.num_threads, opts.gpu,
+            opts.max_jobs_run) == ("4G", "12:00:00", 2, 1, 5)
+
+
+def test_backend_env_var_default(monkeypatch):
+    rj = _load()
+    monkeypatch.setenv("RUN_JOBS_BACKEND", "sge")
+    opts, *_ = rj.parse_args(["JOB=1:2", "log/x.JOB.log", "true"])
+    assert opts.backend == "sge"
+    opts, *_ = rj.parse_args(["--backend", "local",
+                              "JOB=1:2", "log/x.JOB.log", "true"])
+    assert opts.backend == "local"  # explicit flag beats env
+
+
+def test_slurm_submission_construction():
+    rj = _load()
+    opts, lo, hi, logpat, cmd = rj.parse_args(
+        ["--backend", "slurm", "--mem", "4G", "--num-threads", "2",
+         "--gpu", "1", "--max-jobs-run", "4", "--time", "01:00:00",
+         "JOB=1:8", "log/pre.JOB.log",
+         "python3", "-m", "articulatory_tpu.bin.preprocess",
+         "--wav-scp", "dump/wav.JOB.scp"])
+    argv, script = rj.build_submission("slurm", lo, hi, logpat, cmd, opts)
+    assert argv[0] == "sbatch"
+    assert "--wait" in argv
+    assert "--array=1-8%4" in argv
+    assert argv[argv.index("-o") + 1] == "log/pre.%a.log"
+    assert "--mem=4G" in argv and "--time=01:00:00" in argv
+    assert "--cpus-per-task=2" in argv and "--gres=gpu:1" in argv
+    assert argv[-1] == "__SCRIPT__"
+    # the script substitutes the scheduler task id for every JOB token
+    assert '"${SLURM_ARRAY_TASK_ID}"' in script
+    assert "dump/wav." in script and "JOB" not in script.replace(
+        "SLURM_ARRAY_TASK_ID", "")
+
+
+def test_sge_submission_construction():
+    rj = _load()
+    opts, lo, hi, logpat, cmd = rj.parse_args(
+        ["--backend", "sge", "--mem", "2G", "--max-jobs-run", "3",
+         "JOB=2:6", "log/n.JOB.log", "echo", "JOB"])
+    argv, script = rj.build_submission("sge", lo, hi, logpat, cmd, opts)
+    assert argv[0] == "qsub"
+    assert argv[argv.index("-sync") + 1] == "y"  # blocks like run.pl
+    assert argv[argv.index("-t") + 1] == "2-6"
+    assert argv[argv.index("-o") + 1] == "log/n.$TASK_ID.log"
+    assert "-tc" in argv and argv[argv.index("-tc") + 1] == "3"
+    assert "mem_free=2G,ram_free=2G" in argv
+    assert '"${SGE_TASK_ID}"' in script
+    assert argv[-1] == "__SCRIPT__"
+
+
+def test_unknown_backend_raises():
+    rj = _load()
+    opts, lo, hi, logpat, cmd = rj.parse_args(
+        ["JOB=1:2", "log/x.JOB.log", "true"])
+    with pytest.raises(ValueError):
+        rj.build_submission("local", lo, hi, logpat, cmd, opts)
+
+
+def test_local_backend_executes(tmp_path):
+    logpat = str(tmp_path / "job.JOB.log")
+    rc = subprocess.call(
+        [sys.executable, RUN_JOBS, "JOB=1:3", logpat,
+         "python3", "-c", "print('job JOB ok')"])
+    assert rc == 0
+    for j in (1, 2, 3):
+        assert f"job {j} ok" in open(str(tmp_path / f"job.{j}.log")).read()
+
+
+def test_local_backend_failure_propagates(tmp_path):
+    logpat = str(tmp_path / "f.JOB.log")
+    rc = subprocess.call(
+        [sys.executable, RUN_JOBS, "JOB=1:2", logpat,
+         "python3", "-c", "import sys; sys.exit(0 if 'JOB'=='1' else 1)"])
+    assert rc != 0
