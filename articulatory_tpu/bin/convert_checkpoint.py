@@ -1,15 +1,23 @@
 #!/usr/bin/env python3
-"""Convert a reference (PyTorch) checkpoint to this framework's format.
+"""Convert checkpoints between the reference (PyTorch) and this framework.
 
-PyTorch-free inference ingestion: the generator weights from a reference
+torch -> jax (default): the generator weights from a reference
 ``checkpoint-XXXsteps.pkl`` / ``best_mel_ckpt.pkl`` are mapped to our param
 layout (utils/torch_import.py) and written as a msgpack checkpoint that
 ``load_model`` / ``--pretrain`` accept.
+
+jax -> torch (``--to-torch``): one of OUR msgpack/orbax checkpoints is
+exported as a reference-format torch pickle (weight_g/weight_v reparam
+included; utils/torch_export.py) that the REFERENCE's ``load_model``
+(reference utils/utils.py:294-372) and ``--pretrain`` consume — our
+training runs stay usable by every existing reference workflow.
 
 Usage:
     python -m articulatory_tpu.bin.convert_checkpoint \
         --checkpoint ref/best_mel_ckpt.pkl --config ref/config.yml \
         --out exp/converted/best_mel_ckpt.pkl
+    python -m articulatory_tpu.bin.convert_checkpoint --to-torch \
+        --checkpoint exp/ours/best_mel_ckpt.pkl --out export/ckpt.pkl
 """
 
 from __future__ import annotations
@@ -29,12 +37,30 @@ def main():
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--out", type=str, required=True)
+    parser.add_argument("--to-torch", action="store_true",
+                        help="export one of OUR checkpoints as a "
+                             "reference-format torch pickle")
     args = parser.parse_args()
 
     if args.config is None:
         args.config = os.path.join(os.path.dirname(args.checkpoint), "config.yml")
     with open(args.config) as f:
         config = yaml.load(f, Loader=yaml.Loader)
+
+    if args.to_torch:
+        import torch
+
+        from articulatory_tpu.utils.checkpoint import load_checkpoint
+        from articulatory_tpu.utils.torch_export import export_checkpoint
+
+        payload = load_checkpoint(args.checkpoint)
+        out = export_checkpoint(payload, config)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        torch.save(out, args.out)
+        n = sum(int(v.numel()) for v in out["model"]["generator"].values())
+        print(f"exported generator ({n:,} params) as torch pickle -> "
+              f"{args.out}")
+        return
 
     from articulatory_tpu.config import fix_generator_params
     from articulatory_tpu.utils.torch_import import (
