@@ -11,6 +11,7 @@ Usage: python local/linear_inference.py <wav> <linear.joblib> <out.npy>
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -21,16 +22,24 @@ from articulatory_tpu.utils.io import read_wav
 LAYER_NUM = 9
 
 
-def wavlm_features(audio: np.ndarray) -> np.ndarray:
+def wavlm_features(audio: np.ndarray, layer_num: int = LAYER_NUM) -> np.ndarray:
+    """WavLM hidden states at ``layer_num`` (reference layer 9).
+
+    ARTICULATORY_WAVLM_MODEL overrides the HF id (e.g. a local
+    save_pretrained directory — how the test suite exercises this path with
+    a tiny random-init model in the zero-egress environment); tiny models
+    with fewer layers clamp to their last hidden state."""
     import torch
     from transformers import WavLMModel
 
-    model = WavLMModel.from_pretrained("microsoft/wavlm-large")
+    name = os.environ.get("ARTICULATORY_WAVLM_MODEL", "microsoft/wavlm-large")
+    model = WavLMModel.from_pretrained(name)
     model.eval()
     with torch.no_grad():
         out = model(torch.from_numpy(audio).float()[None],
                     output_hidden_states=True)
-    return out.hidden_states[LAYER_NUM][0].numpy()
+    layer = min(layer_num, len(out.hidden_states) - 1)
+    return out.hidden_states[layer][0].numpy()
 
 
 def main():

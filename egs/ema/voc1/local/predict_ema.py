@@ -35,13 +35,33 @@ def wav2mfcc(wav, sr, num_mfcc=13, n_mels=40, n_fft=320, hop_length=160):
     return stats.zscore(feat, axis=None)
 
 
-def hubert_features(audio: np.ndarray, interp_factor: int) -> np.ndarray:
-    """HuBERT-large last hidden states, linearly upsampled to frame rate."""
-    import torch
-    from transformers import HubertModel, Wav2Vec2FeatureExtractor
+_HUBERT = None
 
-    model = HubertModel.from_pretrained("facebook/hubert-large-ll60k")
-    model.eval()
+
+def _load_hubert():
+    """HuBERT model, cached. ARTICULATORY_HUBERT_MODEL overrides the HF id
+    (e.g. a local save_pretrained directory — how the test suite exercises
+    this path with a tiny random-init model in the zero-egress environment)."""
+    global _HUBERT
+    if _HUBERT is None:
+        from transformers import HubertModel
+
+        name = os.environ.get("ARTICULATORY_HUBERT_MODEL",
+                              "facebook/hubert-large-ll60k")
+        _HUBERT = HubertModel.from_pretrained(name)
+        _HUBERT.eval()
+    return _HUBERT
+
+
+def hubert_features(audio: np.ndarray, interp_factor: int) -> np.ndarray:
+    """HuBERT last hidden states, linearly upsampled to the frame rate.
+
+    Matches reference predict_ema.py:85-90: hidden_states[-1] ->
+    F.interpolate(mode='linear', align_corners=False) by a factor of
+    ``interp_factor`` (x2 at hop 160 / x4 at hop 80 -> 200 Hz)."""
+    import torch
+
+    model = _load_hubert()
     with torch.no_grad():
         states = model(torch.from_numpy(audio).float()[None]).last_hidden_state
         target = states.shape[1] * interp_factor
