@@ -175,14 +175,217 @@ def export_bigru(params: Mapping[str, Any], mutables: Mapping[str, Any],
     return f.sd
 
 
+def export_melgan_generator(params: Mapping[str, Any],
+                            config: Mapping[str, Any]) -> dict:
+    """Inverse of torch_import.import_melgan_generator (non-causal)."""
+    f = _Flat()
+    scales = config.get("upsample_scales", (8, 8, 2, 2))
+    stacks = config.get("stacks", 3)
+    f.conv1d("melgan.1", params["first_conv"])
+    idx = 2
+    for i in range(len(scales)):
+        idx += 1  # activation
+        f.conv_transpose1d(f"melgan.{idx}", params[f"upsample_{i}"])
+        idx += 1
+        for j in range(stacks):
+            stack = params[f"stack_{i}_{j}"]
+            f.conv1d(f"melgan.{idx}.stack.2", stack["conv_dilated"])
+            f.conv1d(f"melgan.{idx}.stack.4", stack["conv_out"])
+            f.conv1d(f"melgan.{idx}.skip_layer", stack["conv_skip"])
+            idx += 1
+    idx += 2  # final activation + pad layer
+    f.conv1d(f"melgan.{idx}", params["last_conv"])
+    return f.sd
+
+
+def _unfold_conv2d_wn(f: _Flat, prefix: str, w_ours: np.ndarray) -> None:
+    """Synthesize a (weight_g, weight_v) pair whose folded product equals the
+    stored effective Conv2d weight (import folds weight norm; g*v/||v|| == w
+    when v = w and g = ||w|| per output channel)."""
+    w = np.transpose(np.asarray(w_ours), (3, 2, 0, 1))  # -> torch layout
+    g = np.sqrt((w ** 2).sum(axis=(1, 2, 3), keepdims=True))
+    f.sd[f"{prefix}.weight_v"] = _np(w)
+    f.sd[f"{prefix}.weight_g"] = _np(g)
+
+
+def export_pwg_generator(params: Mapping[str, Any],
+                         config: Mapping[str, Any]) -> dict:
+    """Inverse of torch_import.import_pwg_generator."""
+    f = _Flat()
+    layers = config.get("layers", 30)
+    up_params = config.get("upsample_params", {"upsample_scales": [4, 4, 4, 4]})
+    scales = up_params.get("upsample_scales", [4, 4, 4, 4])
+    has_act = up_params.get("nonlinear_activation") is not None
+    f.conv1d("first_conv", params["first_conv"])
+    if config.get("upsample_conditional_features", True):
+        stride = 3 if has_act else 2
+        for i in range(len(scales)):
+            t_idx = 1 + i * stride
+            _unfold_conv2d_wn(f, f"upsample_net.upsample.up_layers.{t_idx}",
+                              params["upsample_net"]["upsample"][f"conv_{i}_w"])
+        f.conv1d("upsample_net.conv_in", params["upsample_net"]["conv_in"])
+    for i in range(layers):
+        layer = params[f"conv_layer_{i}"]
+        f.conv1d(f"conv_layers.{i}.conv", layer["conv"])
+        f.conv1d(f"conv_layers.{i}.conv1x1_aux", layer["conv1x1_aux"])
+        f.conv1d(f"conv_layers.{i}.conv1x1_skip", layer["conv1x1_skip"])
+        f.conv1d(f"conv_layers.{i}.conv1x1_out", layer["conv1x1_out"])
+    f.conv1d("last_conv_layers.1", params["last_conv_0"])
+    f.conv1d("last_conv_layers.3", params["last_conv_1"])
+    return f.sd
+
+
+def export_style_melgan_generator(params: Mapping[str, Any],
+                                  config: Mapping[str, Any]) -> dict:
+    """Inverse of torch_import.import_style_melgan_generator."""
+    f = _Flat()
+    noise_scales = config.get("noise_upsample_scales", (11, 2, 2, 2))
+    up_scales = config.get("upsample_scales", (2, 2, 2, 2, 2, 2, 2, 2, 1))
+    for i in range(len(noise_scales)):
+        f.conv_transpose1d(f"noise_upsample.{2 * i}",
+                           params[f"noise_upsample_{i}"])
+    for i in range(len(up_scales)):
+        b = f"blocks.{i}"
+        blk = params[f"block_{i}"]
+        f.conv1d(f"{b}.tade1.aux_conv.0", blk["tade1"]["aux_conv"])
+        f.conv1d(f"{b}.tade1.gated_conv.0", blk["tade1"]["gated_conv"])
+        f.conv1d(f"{b}.gated_conv1", blk["gated_conv1"])
+        f.conv1d(f"{b}.tade2.aux_conv.0", blk["tade2"]["aux_conv"])
+        f.conv1d(f"{b}.tade2.gated_conv.0", blk["tade2"]["gated_conv"])
+        f.conv1d(f"{b}.gated_conv2", blk["gated_conv2"])
+    f.conv1d("output_conv.0", params["output_conv"])
+    return f.sd
+
+
+def export_gblock_generator(params: Mapping[str, Any],
+                            config: Mapping[str, Any]) -> dict:
+    """Inverse of torch_import.import_gblock_generator."""
+    f = _Flat()
+    g_scales = config.get("g_scales", (8, 8, 2, 2))
+    f.conv1d("input_conv", params["input_conv"])
+    for i, scale in enumerate(g_scales):
+        r = f"resamples.{i}"
+        off = 1 if scale > 1 else 0  # Upsample layer shifts Sequential indices
+        blk = params[f"resample_{i}"]
+        f.conv1d(f"{r}.conv1.{1 + off}", blk["conv1_a"])
+        f.conv1d(f"{r}.conv1.{3 + off}", blk["conv1_b"])
+        f.conv1d(f"{r}.res1.{off}", blk["res1"])
+        f.conv1d(f"{r}.conv2.1", blk["conv2_a"])
+        f.conv1d(f"{r}.conv2.3", blk["conv2_b"])
+    f.conv1d("output_conv.1", params["output_conv"])
+    if config.get("use_ar", False):
+        for li, ti in enumerate([0, 2, 4, 6, 8]):
+            f.linear(f"ar_model.model.{ti}", params["ar_model"][f"fc{li}"])
+    if config.get("use_spk_id", False):
+        f.embedding("spk_emb_mat", params["spk_emb_mat"])
+        f.linear("spk_fc", params["spk_fc"])
+    return f.sd
+
+
+def _export_resblock_bn(f: _Flat, prefix: str, p: Mapping[str, Any],
+                        s: Mapping[str, Any], steps: int) -> None:
+    f.conv1d(f"{prefix}.conv1", p["conv1"])
+    f.conv1d(f"{prefix}.conv2", p["conv2"])
+    for bn in ("bn1", "bn2"):
+        f.batch_norm(f"{prefix}.{bn}", p[bn], s[bn], steps)
+    if "residual_path" in p:
+        f.conv1d(f"{prefix}.residual_path", p["residual_path"])
+        f.batch_norm(f"{prefix}.res_norm", p["res_norm"], s["res_norm"], steps)
+
+
+def export_transformer(params: Mapping[str, Any], mutables: Mapping[str, Any],
+                       config: Mapping[str, Any], steps: int = 0) -> dict:
+    """Inverse of torch_import.import_transformer."""
+    f = _Flat()
+    elayers = config.get("elayers", 6)
+    extra_art = config.get("extra_art", False)
+    stats = mutables.get("batch_stats", mutables)
+    res_base = 0
+    if extra_art:
+        f.conv1d("conv_blocks.0", params["front_conv"])
+        res_base = 1
+    for i in range(3):
+        _export_resblock_bn(f, f"conv_blocks.{res_base + i}",
+                            params[f"res{i}"], stats[f"res{i}"], steps)
+    f.linear("w_raw_in", params["w_raw_in"])
+    for i in range(elayers):
+        t = f"transformer.layers.{i}"
+        layer = params[f"layer{i}"]
+        attn = layer["self_attn"]
+        for k in ("w_q", "w_k", "w_v", "w_o"):
+            f.sd[f"{t}.self_attn.{k}"] = _np(attn[k])
+        f.sd[f"{t}.self_attn.relative_positional.embeddings"] = _np(
+            np.asarray(attn["rel_embeddings"])[..., None])
+        f.linear(f"{t}.linear1", layer["linear1"])
+        f.linear(f"{t}.linear2", layer["linear2"])
+        for norm in ("norm1", "norm2"):
+            f.sd[f"{t}.{norm}.weight"] = _np(layer[norm]["scale"])
+            f.sd[f"{t}.{norm}.bias"] = _np(layer[norm]["bias"])
+    if "in_emb_mat" in params:
+        f.embedding("in_emb_mat", params["in_emb_mat"])
+    f.linear("w_out", params["w_out"])
+    return f.sd
+
+
+def _export_melgan_discriminator(f: _Flat, prefix: str, disc: Mapping[str, Any],
+                                 config: Mapping[str, Any]) -> None:
+    n_down = len(config.get("downsample_scales", (4, 4, 4, 4)))
+    f.conv1d(f"{prefix}.layers.0.1", disc["layer_0"])
+    for k in range(1, n_down + 2):
+        f.conv1d(f"{prefix}.layers.{k}.0", disc[f"layer_{k}"])
+    f.conv1d(f"{prefix}.layers.{n_down + 2}", disc[f"layer_{n_down + 2}"])
+
+
+def export_melgan_msd(params: Mapping[str, Any],
+                      config: Mapping[str, Any]) -> dict:
+    """Inverse of torch_import.import_melgan_msd."""
+    f = _Flat()
+    for i in range(config.get("scales", 3)):
+        _export_melgan_discriminator(f, f"discriminators.{i}",
+                                     params[f"disc_{i}"], config)
+    return f.sd
+
+
+def export_style_melgan_discriminator(params: Mapping[str, Any],
+                                      config: Mapping[str, Any]) -> dict:
+    """Inverse of torch_import.import_style_melgan_discriminator."""
+    f = _Flat()
+    d_params = config.get("discriminator_params", {})
+    for i in range(len(config.get("pqmf_params", ((1,),) * 4))):
+        _export_melgan_discriminator(f, f"discriminators.{i}",
+                                     params[f"disc_{i}"], d_params)
+    return f.sd
+
+
+def export_pwg_discriminator(params: Mapping[str, Any],
+                             config: Mapping[str, Any]) -> dict:
+    """Inverse of torch_import.import_pwg_discriminator."""
+    f = _Flat()
+    for i in range(config.get("layers", 10)):
+        f.conv1d(f"conv_layers.{2 * i}", params[f"conv_{i}"])
+    return f.sd
+
+
 GENERATOR_EXPORTERS = {
     "HiFiGANGenerator":
         lambda p, m, cfg, steps=0: export_hifigan_generator(p, cfg),
     "BiGRU": export_bigru,
+    "MelGANGenerator":
+        lambda p, m, cfg, steps=0: export_melgan_generator(p, cfg),
+    "ParallelWaveGANGenerator":
+        lambda p, m, cfg, steps=0: export_pwg_generator(p, cfg),
+    "StyleMelGANGenerator":
+        lambda p, m, cfg, steps=0: export_style_melgan_generator(p, cfg),
+    "GBlockGenerator":
+        lambda p, m, cfg, steps=0: export_gblock_generator(p, cfg),
+    "Transformer": export_transformer,
 }
 
 DISCRIMINATOR_EXPORTERS = {
     "HiFiGANMultiScaleMultiPeriodDiscriminator": export_hifigan_msmpd,
+    "MelGANMultiScaleDiscriminator": export_melgan_msd,
+    "StyleMelGANDiscriminator": export_style_melgan_discriminator,
+    "ParallelWaveGANDiscriminator": export_pwg_discriminator,
 }
 
 
