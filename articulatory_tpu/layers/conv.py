@@ -226,6 +226,7 @@ class Conv2d(nn.Module):
     use_weight_norm: bool = False
     use_spectral_norm: bool = False
     kernel_init: str | Initializer = "torch_default"
+    dtype: Any = None  # compute dtype; params stay f32 (see Conv1d)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -243,6 +244,10 @@ class Conv2d(nn.Module):
         if self.use_bias:
             fan_in = int(np.prod(shape[:3]))
             b = self.param("b", torch_bias_init(fan_in), (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
+            b = b.astype(self.dtype) if b is not None else None
         return conv_ops.conv2d(x, w, b, stride=self.stride, padding=self.padding,
                                dilation=self.dilation, groups=self.groups)
 

@@ -65,14 +65,20 @@ def get_model_class(name: str):
 
 
 def build_model(name: str, params: dict):
-    """Instantiate a registered model from YAML kwargs (lists -> tuples)."""
-    import flax
+    """Instantiate a registered model from YAML kwargs (lists -> tuples;
+    compute_dtype strings like "bfloat16" -> jnp dtypes)."""
+    import jax.numpy as jnp
 
-    def freeze(v):
+    def freeze(k, v):
         if isinstance(v, list):
-            return tuple(freeze(x) for x in v)
+            return tuple(freeze(k, x) for x in v)
+        if k == "compute_dtype" and isinstance(v, str):
+            return jnp.dtype({"bf16": "bfloat16", "f32": "float32",
+                              "fp32": "float32"}.get(v, v))
+        if isinstance(v, dict):
+            return {kk: freeze(kk, vv) for kk, vv in v.items()}
         return v
 
     cls = get_model_class(name)
-    kwargs = {k: freeze(v) for k, v in dict(params or {}).items()}
+    kwargs = {k: freeze(k, v) for k, v in dict(params or {}).items()}
     return cls(**kwargs)

@@ -227,6 +227,10 @@ class HiFiGANPeriodDiscriminator(nn.Module):
     nonlinear_activation_params: dict = None
     use_weight_norm: bool = True
     use_spectral_norm: bool = False
+    # compute dtype for the conv stack (e.g. jnp.bfloat16); params stay f32
+    # and every returned feature map is cast back to f32 so loss math and
+    # feature matching stay full precision. None = full f32.
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> list[Array]:
@@ -243,6 +247,8 @@ class HiFiGANPeriodDiscriminator(nn.Module):
             t += n_pad
         # (B, T/P, P, C): height = T/P, width = P, channels = C
         x = x.reshape(b, t // self.period, self.period, c)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
 
         outs = []
         in_chs = self.in_channels
@@ -253,27 +259,31 @@ class HiFiGANPeriodDiscriminator(nn.Module):
                        use_bias=self.bias,
                        use_weight_norm=self.use_weight_norm,
                        use_spectral_norm=self.use_spectral_norm,
+                       dtype=self.compute_dtype,
                        name=f"conv_{i}")(x)
             x = act(x)
-            outs.append(x)
+            outs.append(x.astype(jnp.float32))
             in_chs = out_chs
             out_chs = min(out_chs * 4, self.max_downsample_channels)
         x = Conv2d(self.out_channels, (self.kernel_sizes[1] - 1, 1),
                    padding=((self.kernel_sizes[1] - 1) // 2, 0),
                    use_weight_norm=self.use_weight_norm,
                    use_spectral_norm=self.use_spectral_norm,
+                   dtype=self.compute_dtype,
                    name="output_conv")(x)
-        outs.append(x.reshape(b, -1))
+        outs.append(x.reshape(b, -1).astype(jnp.float32))
         return outs
 
 
 class HiFiGANMultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     discriminator_params: dict = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> list[list[Array]]:
         params = dict(self.discriminator_params or {})
+        params.setdefault("compute_dtype", self.compute_dtype)
         outs = []
         for i, period in enumerate(self.periods):
             p = dict(params)
@@ -302,6 +312,8 @@ class HiFiGANScaleDiscriminator(nn.Module):
     nonlinear_activation_params: dict = None
     use_weight_norm: bool = True   # accepted for config parity; no-op (see note)
     use_spectral_norm: bool = False
+    # compute dtype (see HiFiGANPeriodDiscriminator.compute_dtype)
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> list[Array]:
@@ -310,11 +322,13 @@ class HiFiGANScaleDiscriminator(nn.Module):
         act = get_activation(self.nonlinear_activation,
                              self.nonlinear_activation_params or {"negative_slope": 0.1})
         outs = []
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         x = Conv1d(self.channels, self.kernel_sizes[0],
                    padding=(self.kernel_sizes[0] - 1) // 2, use_bias=self.bias,
-                   name="layer_0")(x)
+                   dtype=self.compute_dtype, name="layer_0")(x)
         x = act(x)
-        outs.append(x)
+        outs.append(x.astype(jnp.float32))
 
         in_chs = self.channels
         out_chs = self.channels
@@ -323,9 +337,10 @@ class HiFiGANScaleDiscriminator(nn.Module):
         for scale in self.downsample_scales:
             x = Conv1d(out_chs, self.kernel_sizes[1], stride=scale,
                        padding=(self.kernel_sizes[1] - 1) // 2, groups=groups,
-                       use_bias=self.bias, name=f"layer_{li}")(x)
+                       use_bias=self.bias, dtype=self.compute_dtype,
+                       name=f"layer_{li}")(x)
             x = act(x)
-            outs.append(x)
+            outs.append(x.astype(jnp.float32))
             li += 1
             in_chs = out_chs
             out_chs = min(in_chs * 2, self.max_downsample_channels)
@@ -334,13 +349,13 @@ class HiFiGANScaleDiscriminator(nn.Module):
         out_chs = min(in_chs * 2, self.max_downsample_channels)
         x = Conv1d(out_chs, self.kernel_sizes[2],
                    padding=(self.kernel_sizes[2] - 1) // 2, use_bias=self.bias,
-                   name=f"layer_{li}")(x)
+                   dtype=self.compute_dtype, name=f"layer_{li}")(x)
         x = act(x)
-        outs.append(x)
+        outs.append(x.astype(jnp.float32))
         x = Conv1d(self.out_channels, self.kernel_sizes[3],
                    padding=(self.kernel_sizes[3] - 1) // 2, use_bias=self.bias,
-                   name=f"layer_{li + 1}")(x)
-        outs.append(x)
+                   dtype=self.compute_dtype, name=f"layer_{li + 1}")(x)
+        outs.append(x.astype(jnp.float32))
         return outs
 
 
@@ -350,12 +365,14 @@ class HiFiGANMultiScaleDiscriminator(nn.Module):
     downsample_pooling_params: dict = None
     discriminator_params: dict = None
     follow_official_norm: bool = False
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> list[list[Array]]:
         pool_params = self.downsample_pooling_params or {
             "kernel_size": 4, "stride": 2, "padding": 2}
         params = dict(self.discriminator_params or {})
+        params.setdefault("compute_dtype", self.compute_dtype)
         outs = []
         for i in range(self.scales):
             p = dict(params)
@@ -380,6 +397,9 @@ class HiFiGANMultiScaleMultiPeriodDiscriminator(nn.Module):
     follow_official_norm: bool = True
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     period_discriminator_params: dict = None
+    # compute dtype for every sub-discriminator's conv stack (params stay
+    # f32, feature maps/logits cast back to f32 — see the sub-classes)
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> list[list[Array]]:
@@ -389,9 +409,11 @@ class HiFiGANMultiScaleMultiPeriodDiscriminator(nn.Module):
             downsample_pooling_params=self.scale_downsample_pooling_params,
             discriminator_params=self.scale_discriminator_params,
             follow_official_norm=self.follow_official_norm,
+            compute_dtype=self.compute_dtype,
             name="msd")(x)
         mpd_outs = HiFiGANMultiPeriodDiscriminator(
             periods=self.periods,
             discriminator_params=self.period_discriminator_params,
+            compute_dtype=self.compute_dtype,
             name="mpd")(x)
         return msd_outs + mpd_outs

@@ -69,6 +69,24 @@ def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     return patches.reshape(batch_shape + (n_frames, frame_length))
 
 
+# Up to this FFT size the rDFT is computed as two MXU matmuls against a
+# precomputed cosine/sine basis instead of jnp.fft.rfft. Measured on v5e:
+# XLA's rfft runs essentially serially (the flagship mel loss spent 41.75 ms
+# at 0.1 TFLOP/s — see benchmarks/step_breakdown.py), while the windowed
+# DFT-matmul is a dense (frames, n_fft) x (n_fft, n_bins+1) contraction the
+# MXU eats in well under a millisecond. Basis memory at 4096: 33 MB, fine.
+_DFT_MATMUL_MAX_NFFT = 4096
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT basis (cos, sin): ``rfft(x) = x @ cos - 1j * (x @ sin)``."""
+    k = np.arange(n_fft, dtype=np.float64)[:, None]
+    f = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * f / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "window", "center"))
 def stft(x: jax.Array, *, n_fft: int, hop: int, win_length: int | None = None,
          window: str = "hann", center: bool = True) -> jax.Array:
@@ -80,8 +98,18 @@ def stft(x: jax.Array, *, n_fft: int, hop: int, win_length: int | None = None,
         pad = n_fft // 2
         pad_cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
         x = jnp.pad(x, pad_cfg, mode="reflect")
-    frames = frame_signal(x, n_fft, hop) * w
-    return jnp.fft.rfft(frames, axis=-1)
+    frames = frame_signal(x, n_fft, hop)
+    if n_fft <= _DFT_MATMUL_MAX_NFFT and not jnp.iscomplexobj(x):
+        # window folded into the basis; XLA constant-folds w[:, None] * basis.
+        # Precision HIGHEST keeps full f32 accumulation on the MXU (the
+        # default bf16 pass would cost ~1e-2 relative error vs torch.stft).
+        cos_m, sin_m = _dft_matrices(n_fft)
+        wc = jnp.asarray(cos_m, dtype=x.dtype) * w[:, None]
+        ws = jnp.asarray(sin_m, dtype=x.dtype) * w[:, None]
+        re = jnp.matmul(frames, wc, precision=lax.Precision.HIGHEST)
+        im = -jnp.matmul(frames, ws, precision=lax.Precision.HIGHEST)
+        return lax.complex(re, im)
+    return jnp.fft.rfft(frames * w, axis=-1)
 
 
 def stft_magnitude(x: jax.Array, *, n_fft: int, hop: int,

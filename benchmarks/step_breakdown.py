@@ -48,21 +48,20 @@ def _cost(compiled):
         return 0.0, 0.0
 
 
+def _first_leaf(out):
+    while isinstance(out, (tuple, list, dict)):
+        out = next(iter(out.values())) if isinstance(out, dict) else out[0]
+    return out
+
+
 def _time(fn, args, iters=10):
+    """Time a (pre-compiled) callable with a host-readback sync per iter."""
     import jax.numpy as jnp
 
-    out = fn(*args)
-    leaf = out[0] if isinstance(out, tuple) else out
-    while isinstance(leaf, (dict,)):
-        leaf = next(iter(leaf.values()))
-    float(jnp.sum(leaf) if hasattr(leaf, "dtype") else 0.0)  # compile+sync
+    float(jnp.sum(_first_leaf(fn(*args))))  # warmup + sync
     start = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        leaf = out[0] if isinstance(out, tuple) else out
-        while isinstance(leaf, (dict,)):
-            leaf = next(iter(leaf.values()))
-        float(jnp.sum(leaf))
+        float(jnp.sum(_first_leaf(fn(*args))))
     return (time.perf_counter() - start) / iters
 
 
@@ -71,6 +70,9 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--batch-max-steps", type=int, default=8000)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--bf16-disc", action="store_true",
+                   help="run the discriminator conv stacks in bfloat16 "
+                        "(params f32, fmaps cast back to f32)")
     args = p.parse_args()
 
     import jax
@@ -114,7 +116,8 @@ def main():
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
         use_ar=True, ar_input=512, ar_hidden=256, ar_output=128)
-    disc = HiFiGANMultiScaleMultiPeriodDiscriminator()
+    disc = HiFiGANMultiScaleMultiPeriodDiscriminator(
+        compute_dtype=jnp.bfloat16 if args.bf16_disc else None)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, frames, 13)), jnp.float32)
@@ -130,6 +133,17 @@ def main():
 
     results = {}
 
+    def stage(name, fn, *stage_args):
+        """Compile ONCE (AOT; the compiled object serves both cost analysis
+        and timing — a second jit-path compile would double every stage's
+        multi-minute remote compile), time, and print incrementally."""
+        compiled = jax.jit(fn).lower(*stage_args).compile()
+        flops, bytes_ = _cost(compiled)
+        t = _time(compiled, stage_args, args.iters)
+        report(name, t, flops, bytes_)
+        print(json.dumps({name: results[name]}), flush=True)
+        return compiled
+
     def report(name, seconds, flops, bytes_):
         results[name] = {
             "ms": round(seconds * 1e3, 2),
@@ -142,47 +156,30 @@ def main():
         }
 
     # --- generator forward ---
-    gen_fwd = jax.jit(lambda p, x, ar: gen.apply({"params": p}, x, ar=ar))
-    lowered = gen_fwd.lower(params_g, x, ar)
-    flops, bytes_ = _cost(lowered.compile())
-    t = _time(gen_fwd, (params_g, x, ar), args.iters)
-    report("gen_fwd", t, flops, bytes_)
+    stage("gen_fwd", lambda p, x, ar: gen.apply({"params": p}, x, ar=ar),
+          params_g, x, ar)
 
     # --- generator forward+backward on the aux mel loss ---
     def gen_aux(p):
         y_ = gen.apply({"params": p}, x, ar=ar)
         return mel_loss(y_[..., 0], y[..., 0])
 
-    gen_fwd_bwd = jax.jit(jax.grad(gen_aux))
-    flops, bytes_ = _cost(gen_fwd_bwd.lower(params_g).compile())
-    t = _time(lambda p: gen_fwd_bwd(p)["input_conv"]["b"], (params_g,),
-              args.iters)
-    report("gen_fwd_bwd_mel", t, flops, bytes_)
+    stage("gen_fwd_bwd_mel", jax.grad(gen_aux), params_g)
 
     # --- discriminators forward (disc input = AR context + window) ---
     disc_in = jnp.concatenate([ar, y], axis=1)
-    disc_fwd = jax.jit(lambda p, z: disc.apply({"params": p}, z))
-    flops, bytes_ = _cost(disc_fwd.lower(params_d, disc_in).compile())
-    t = _time(lambda p, z: disc_fwd(p, z)[0][-1], (params_d, disc_in),
-              args.iters)
-    report("disc_fwd_x8", t, flops, bytes_)
+    stage("disc_fwd_x8", lambda p, z: disc.apply({"params": p}, z),
+          params_d, disc_in)
 
     # --- discriminator loss forward+backward ---
     def disc_loss(p):
         outs = disc.apply({"params": p}, disc_in)
         return sum(jnp.mean((o[-1] - 1.0) ** 2) for o in outs)
 
-    disc_fwd_bwd = jax.jit(jax.grad(disc_loss))
-    flops, bytes_ = _cost(disc_fwd_bwd.lower(params_d).compile())
-    t = _time(lambda p: disc_fwd_bwd(p)["msd"]["disc_0"]["layer_0"]["b"],
-              (params_d,), args.iters)
-    report("disc_fwd_bwd_x8", t, flops, bytes_)
+    stage("disc_fwd_bwd_x8", jax.grad(disc_loss), params_d)
 
     # --- mel loss alone ---
-    mel_fn = jax.jit(lambda a, b: mel_loss(a[..., 0], b[..., 0]))
-    flops, bytes_ = _cost(mel_fn.lower(y, y).compile())
-    t = _time(mel_fn, (y, y), args.iters)
-    report("mel_loss", t, flops, bytes_)
+    stage("mel_loss", lambda a, b: mel_loss(a[..., 0], b[..., 0]), y, y)
 
     # --- full fused train step ---
     tx_g = build_optimizer("Adam", {"betas": [0.5, 0.9]})
@@ -193,9 +190,9 @@ def main():
         steps=jnp.asarray(0, jnp.int32))
     step = jax.jit(make_train_step(gen, disc, GANCriterion(config), config,
                                    tx_g, tx_d))
-    flops, bytes_ = _cost(step.lower(state, batch, jax.random.PRNGKey(1),
-                                     jnp.float32(1e-4),
-                                     jnp.float32(1e-4)).compile())
+    step = step.lower(state, batch, jax.random.PRNGKey(1),
+                      jnp.float32(1e-4), jnp.float32(1e-4)).compile()
+    flops, bytes_ = _cost(step)
 
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1),
                               jnp.float32(1e-4), jnp.float32(1e-4))
