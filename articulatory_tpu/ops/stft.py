@@ -98,18 +98,28 @@ def stft(x: jax.Array, *, n_fft: int, hop: int, win_length: int | None = None,
         pad = n_fft // 2
         pad_cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
         x = jnp.pad(x, pad_cfg, mode="reflect")
-    frames = frame_signal(x, n_fft, hop)
     if n_fft <= _DFT_MATMUL_MAX_NFFT and not jnp.iscomplexobj(x):
-        # window folded into the basis; XLA constant-folds w[:, None] * basis.
-        # Precision HIGHEST keeps full f32 accumulation on the MXU (the
+        # One strided conv computes the whole windowed rDFT: kernel =
+        # window-folded [cos | -sin] basis, taps = n_fft, stride = hop. The
+        # n_fft kernel taps form the MXU contraction dimension (measured:
+        # framing via conv_general_dilated_patches has contraction size
+        # C_in=1 and ran ~30 ms for the flagship mel loss; this conv is
+        # sub-ms). Precision HIGHEST keeps full f32 accumulation (the
         # default bf16 pass would cost ~1e-2 relative error vs torch.stft).
         cos_m, sin_m = _dft_matrices(n_fft)
-        wc = jnp.asarray(cos_m, dtype=x.dtype) * w[:, None]
-        ws = jnp.asarray(sin_m, dtype=x.dtype) * w[:, None]
-        re = jnp.matmul(frames, wc, precision=lax.Precision.HIGHEST)
-        im = -jnp.matmul(frames, ws, precision=lax.Precision.HIGHEST)
-        return lax.complex(re, im)
-    return jnp.fft.rfft(frames * w, axis=-1)
+        basis = jnp.concatenate(
+            [jnp.asarray(cos_m, dtype=x.dtype) * w[:, None],
+             jnp.asarray(-sin_m, dtype=x.dtype) * w[:, None]], axis=1)
+        batch_shape = x.shape[:-1]
+        z = lax.conv_general_dilated(
+            x.reshape((-1, x.shape[-1], 1)), basis[:, None, :],
+            window_strides=(hop,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            precision=lax.Precision.HIGHEST)  # (B', n_frames, 2 * bins)
+        z = z.reshape(batch_shape + z.shape[1:])
+        n_bins = n_fft // 2 + 1
+        return lax.complex(z[..., :n_bins], z[..., n_bins:])
+    return jnp.fft.rfft(frame_signal(x, n_fft, hop) * w, axis=-1)
 
 
 def stft_magnitude(x: jax.Array, *, n_fft: int, hop: int,
