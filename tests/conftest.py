@@ -42,16 +42,27 @@ def reference():
     import scipy.signal.windows
     if not hasattr(scipy.signal, "kaiser"):
         scipy.signal.kaiser = scipy.signal.windows.kaiser
+    import importlib.machinery
+
+    def _shim_module(name):
+        # a real ModuleSpec so importlib.util.find_spec(name) works on the
+        # shim — transformers probes optional deps that way, and a module
+        # with __spec__ = None makes find_spec raise ValueError (breaks the
+        # SSL-inversion tests when they run after reference-fixture tests)
+        import types
+
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return mod
+
     if "librosa" not in sys.modules:
         # minimal librosa shim (not installed here): only filters.mel, backed
         # by our own librosa-parity implementation, so reference modules that
         # import librosa at module scope can load.
-        import types
-
         from articulatory_tpu.ops.mel import mel_filterbank
 
-        librosa = types.ModuleType("librosa")
-        filters = types.ModuleType("librosa.filters")
+        librosa = _shim_module("librosa")
+        filters = _shim_module("librosa.filters")
 
         def _mel(sr=None, n_fft=None, n_mels=128, fmin=0.0, fmax=None, **kw):
             return mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
@@ -62,26 +73,20 @@ def reference():
         sys.modules["librosa.filters"] = filters
     if "soundfile" not in sys.modules:
         # scipy-backed soundfile shim (module-level import in reference decode)
-        import types
-
         from articulatory_tpu.utils.io import read_wav, write_wav
 
-        sf = types.ModuleType("soundfile")
+        sf = _shim_module("soundfile")
         sf.read = lambda path, **kw: read_wav(path)
         sf.write = lambda path, data, sr, **kw: write_wav(path, data, sr)
         sys.modules["soundfile"] = sf
     if "resampy" not in sys.modules:
-        import types
-
         from articulatory_tpu.ops.audio import resample as _resample
 
-        resampy = types.ModuleType("resampy")
+        resampy = _shim_module("resampy")
         resampy.resample = lambda x, orig, target, **kw: _resample(x, orig, target)
         sys.modules["resampy"] = resampy
     if "kaldiio" not in sys.modules:
-        import types
-
-        kaldiio = types.ModuleType("kaldiio")
+        kaldiio = _shim_module("kaldiio")
 
         def _unavailable(*a, **k):
             raise RuntimeError("kaldiio shim: not implemented in tests")
