@@ -69,18 +69,18 @@ def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     return patches.reshape(batch_shape + (n_frames, frame_length))
 
 
-# Up to this FFT size the rDFT is computed as two MXU matmuls against a
-# precomputed cosine/sine basis instead of jnp.fft.rfft. Measured on v5e:
-# XLA's rfft runs essentially serially (the flagship mel loss spent 41.75 ms
-# at 0.1 TFLOP/s — see benchmarks/step_breakdown.py), while the windowed
-# DFT-matmul is a dense (frames, n_fft) x (n_fft, n_bins+1) contraction the
-# MXU eats in well under a millisecond. Basis memory at 4096: 33 MB, fine.
-_DFT_MATMUL_MAX_NFFT = 4096
-
-
 @functools.lru_cache(maxsize=8)
 def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
-    """Real-DFT basis (cos, sin): ``rfft(x) = x @ cos - 1j * (x @ sin)``."""
+    """Real-DFT basis (cos, sin): ``rfft(x) = x @ cos - 1j * (x @ sin)``.
+
+    Used by benchmarks/stft_variants_bench.py, which A/Bed three STFT
+    formulations at the flagship mel-loss shapes on v5e (fwd / fwd+bwd ms,
+    pipelined-sync timing): rfft 1.66 / 4.41; framed DFT-matmul 2.31 /
+    4.45; strided-conv DFT 3.12 / 16.87 (its input gradient is an
+    lhs-dilated conv XLA lowers badly). jnp.fft.rfft wins — an earlier
+    per-iteration-sync measurement that suggested otherwise was dominated
+    by the ~30 ms relay round trip, not compute. stft() therefore uses
+    plain rfft."""
     k = np.arange(n_fft, dtype=np.float64)[:, None]
     f = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * k * f / n_fft
@@ -98,27 +98,6 @@ def stft(x: jax.Array, *, n_fft: int, hop: int, win_length: int | None = None,
         pad = n_fft // 2
         pad_cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
         x = jnp.pad(x, pad_cfg, mode="reflect")
-    if n_fft <= _DFT_MATMUL_MAX_NFFT and not jnp.iscomplexobj(x):
-        # One strided conv computes the whole windowed rDFT: kernel =
-        # window-folded [cos | -sin] basis, taps = n_fft, stride = hop. The
-        # n_fft kernel taps form the MXU contraction dimension (measured:
-        # framing via conv_general_dilated_patches has contraction size
-        # C_in=1 and ran ~30 ms for the flagship mel loss; this conv is
-        # sub-ms). Precision HIGHEST keeps full f32 accumulation (the
-        # default bf16 pass would cost ~1e-2 relative error vs torch.stft).
-        cos_m, sin_m = _dft_matrices(n_fft)
-        basis = jnp.concatenate(
-            [jnp.asarray(cos_m, dtype=x.dtype) * w[:, None],
-             jnp.asarray(-sin_m, dtype=x.dtype) * w[:, None]], axis=1)
-        batch_shape = x.shape[:-1]
-        z = lax.conv_general_dilated(
-            x.reshape((-1, x.shape[-1], 1)), basis[:, None, :],
-            window_strides=(hop,), padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            precision=lax.Precision.HIGHEST)  # (B', n_frames, 2 * bins)
-        z = z.reshape(batch_shape + z.shape[1:])
-        n_bins = n_fft // 2 + 1
-        return lax.complex(z[..., :n_bins], z[..., n_bins:])
     return jnp.fft.rfft(frame_signal(x, n_fft, hop) * w, axis=-1)
 
 

@@ -26,6 +26,11 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--batch-max-steps", type=int, default=8000)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--time-packing", action="store_true",
+                   help="enable the exact-equivalence space-to-depth packing "
+                        "on the generator's narrow late stages")
+    p.add_argument("--gen-bf16", action="store_true",
+                   help="generator conv stack in bfloat16 (params f32)")
     args = p.parse_args()
 
     import jax
@@ -67,7 +72,9 @@ def main():
         upsample_scales=(5, 4, 2, 2), upsample_kernel_sizes=(10, 8, 4, 4),
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
-        use_ar=True, ar_input=512, ar_hidden=256, ar_output=128)
+        use_ar=True, ar_input=512, ar_hidden=256, ar_output=128,
+        time_packing="auto" if args.time_packing else None,
+        compute_dtype=jnp.bfloat16 if args.gen_bf16 else None)
     disc = HiFiGANMultiScaleMultiPeriodDiscriminator()
 
     b, t = args.batch, args.batch_max_steps
