@@ -183,7 +183,11 @@ def _cpu_init_context():
 
 def init_models(config, batch, seed=0):
     """Build + init generator(s)/discriminator from one example batch."""
-    gen = build_model(config["generator_type"], config["generator_params"])
+    from articulatory_tpu.config import inject_time_packing
+
+    gen = build_model(config["generator_type"],
+                      inject_time_packing(config["generator_type"],
+                                          config["generator_params"], config))
     disc = build_model(config["discriminator_type"],
                        config.get("discriminator_params", {}))
     gen2 = None

@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from articulatory_tpu.config import fix_generator_params, load_config
+from articulatory_tpu.config import (
+    fix_generator_params,
+    inject_time_packing,
+    load_config,
+)
 from articulatory_tpu.models import build_model
 from articulatory_tpu.ops.interp import interpolate_linear_scale
 from articulatory_tpu.ops.pqmf import PQMF
@@ -136,7 +140,8 @@ def load_model(checkpoint: str, config: dict | str | None = None,
 
     gen_type = config.get(type_key, "ParallelWaveGANGenerator")
     gen_params = fix_generator_params(config[params_key])
-    model = build_model(gen_type, gen_params)
+    model = build_model(gen_type,
+                        inject_time_packing(gen_type, gen_params, config))
 
     params, mutables = _load_generator_params(checkpoint, generator_key,
                                               gen_type, gen_params)

@@ -35,6 +35,15 @@ AR_INPUT = 512
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--time-packing", action="store_true",
+                        help="exact-equivalence space-to-depth packing on "
+                             "the narrow late stages (measured win at "
+                             "training shapes; see docs/DESIGN.md §7)")
+    args = parser.parse_args()
+
     import jax
 
     from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
@@ -49,7 +58,8 @@ def main():
         upsample_scales=(5, 4, 2, 2), upsample_kernel_sizes=(10, 8, 4, 4),
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
-        use_ar=True, ar_input=AR_INPUT, ar_hidden=256, ar_output=128)
+        use_ar=True, ar_input=AR_INPUT, ar_hidden=256, ar_output=128,
+        time_packing="auto" if args.time_packing else None)
 
     n_frames = int(SECONDS_PER_UTT * FRAME_RATE)
     n_chunks = n_frames // CHUNK_FRAMES
