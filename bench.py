@@ -13,6 +13,8 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "samples_per_sec_per_chip",
    "vs_baseline": N}
 Baseline = 50x realtime at 16 kHz = 800_000 samples/sec/chip (BASELINE.md).
+Round-2 measured: 25.4M samples/s/chip with the default exact-equivalence
+time packing (21.0M without).
 """
 
 from __future__ import annotations
@@ -38,10 +40,11 @@ def main():
     import argparse
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--time-packing", action="store_true",
-                        help="exact-equivalence space-to-depth packing on "
-                             "the narrow late stages (measured win at "
-                             "training shapes; see docs/DESIGN.md §7)")
+    parser.add_argument("--no-time-packing", action="store_true",
+                        help="disable the exact-equivalence space-to-depth "
+                             "packing of the narrow late stages (packing is "
+                             "the default: 21.0M -> 25.4M samples/s/chip "
+                             "measured; see docs/DESIGN.md §7)")
     args = parser.parse_args()
 
     import jax
@@ -59,7 +62,7 @@ def main():
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
         use_ar=True, ar_input=AR_INPUT, ar_hidden=256, ar_output=128,
-        time_packing="auto" if args.time_packing else None)
+        time_packing=None if args.no_time_packing else "auto")
 
     n_frames = int(SECONDS_PER_UTT * FRAME_RATE)
     n_chunks = n_frames // CHUNK_FRAMES
