@@ -25,13 +25,14 @@ import numpy as np
 
 
 def _time(fn, args, iters=20):
+    """Pipelined timing: queue all dispatches, one readback sync at the end
+    (per-iter readbacks would add the ~30 ms relay round trip each)."""
     import jax.numpy as jnp
 
-    out = fn(*args)
-    float(jnp.sum(out))
+    float(jnp.sum(fn(*args)))
     start = time.perf_counter()
-    for _ in range(iters):
-        float(jnp.sum(fn(*args)))
+    outs = [fn(*args) for _ in range(iters)]
+    float(jnp.sum(outs[-1]))
     return (time.perf_counter() - start) / iters
 
 

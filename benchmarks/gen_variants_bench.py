@@ -66,8 +66,8 @@ def main():
         out = fwd(params, x, ar)
         float(jnp.sum(out))  # compile + sync
         start = time.perf_counter()
-        for _ in range(args.iters):
-            float(jnp.sum(fwd(params, x, ar)))
+        outs = [fwd(params, x, ar) for _ in range(args.iters)]
+        float(jnp.sum(outs[-1]))  # one pipelined sync
         t = (time.perf_counter() - start) / args.iters
         print(json.dumps({name: {
             "ms": round(t * 1e3, 3),

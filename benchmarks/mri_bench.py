@@ -39,6 +39,7 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--no-time-packing", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -56,7 +57,8 @@ def main():
         upsample_kernel_sizes=(16, 10, 6, 4),
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
-        use_ar=True, ar_input=AR_INPUT, ar_hidden=256, ar_output=128)
+        use_ar=True, ar_input=AR_INPUT, ar_hidden=256, ar_output=128,
+        time_packing=None if args.no_time_packing else "auto")
 
     n_frames = int(args.seconds * SR) // HOP
     n_chunks = n_frames // CHUNK_FRAMES

@@ -55,13 +55,17 @@ def _first_leaf(out):
 
 
 def _time(fn, args, iters=10):
-    """Time a (pre-compiled) callable with a host-readback sync per iter."""
+    """Time a (pre-compiled) callable: queue ``iters`` async dispatches, then
+    ONE host readback. TPU streams execute in order, so the final sum
+    transitively syncs every queued iteration — per-iteration readbacks
+    would add the ~30 ms relay round trip to every stage (the axon platform
+    has no reliable block_until_ready; only host readback syncs)."""
     import jax.numpy as jnp
 
     float(jnp.sum(_first_leaf(fn(*args))))  # warmup + sync
     start = time.perf_counter()
-    for _ in range(iters):
-        float(jnp.sum(_first_leaf(fn(*args))))
+    outs = [fn(*args) for _ in range(iters)]
+    float(jnp.sum(_first_leaf(outs[-1])))
     return (time.perf_counter() - start) / iters
 
 
@@ -189,7 +193,7 @@ def main():
         opt_g=tx_g.init(params_g), opt_d=tx_d.init(params_d),
         steps=jnp.asarray(0, jnp.int32))
     step = jax.jit(make_train_step(gen, disc, GANCriterion(config), config,
-                                   tx_g, tx_d))
+                                   tx_g, tx_d), donate_argnums=(0,))
     step = step.lower(state, batch, jax.random.PRNGKey(1),
                       jnp.float32(1e-4), jnp.float32(1e-4)).compile()
     flops, bytes_ = _cost(step)
@@ -201,7 +205,7 @@ def main():
     for i in range(args.iters):
         new_state, metrics = step(new_state, batch, jax.random.PRNGKey(i),
                                   jnp.float32(1e-4), jnp.float32(1e-4))
-        float(metrics["train/generator_loss"])
+    float(metrics["train/generator_loss"])  # transitively syncs the chain
     t = (time.perf_counter() - start) / args.iters
     report("full_step", t, flops, bytes_)
     results["full_step"]["samples_per_sec_per_chip"] = round(B * T / t, 1)

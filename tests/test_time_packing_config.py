@@ -50,6 +50,30 @@ def test_shipped_configs_carry_top_level_key():
         assert "time_packing" not in cfg["generator_params"], rel
 
 
+def test_train_init_models_honors_top_level_key(rng):
+    from articulatory_tpu.bin.train import init_models
+
+    config = {
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": dict(GEN_PARAMS),
+        "discriminator_type": "HiFiGANMultiScaleMultiPeriodDiscriminator",
+        "discriminator_params": {
+            "scales": 1,
+            "scale_discriminator_params": {"channels": 8,
+                                           "max_downsample_channels": 16,
+                                           "max_groups": 2},
+            "periods": [2],
+            "period_discriminator_params": {"channels": 2,
+                                            "max_downsample_channels": 4}},
+        "time_packing": "auto",
+    }
+    batch = {"x": (rng.standard_normal((1, 20, 13)).astype(np.float32),),
+             "y": rng.standard_normal((1, 1600, 1)).astype(np.float32)}
+    gen, gen2, disc, *_ = init_models(config, batch)
+    assert gen.time_packing == "auto"
+    assert "time_packing" not in config["generator_params"]  # no mutation
+
+
 def test_load_model_honors_top_level_key(tmp_path, rng):
     import flax.serialization
 
