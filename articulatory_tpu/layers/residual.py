@@ -74,6 +74,7 @@ class HiFiGANResidualBlock(nn.Module):
                                  dilation=dilation, use_bias=self.use_bias,
                                  use_weight_norm=self.use_weight_norm,
                                  kernel_init=self.kernel_init,
+                                 dtype=self.compute_dtype,
                                  time_pack=self.time_pack, name=name)(x)
 
 
@@ -87,6 +88,7 @@ class _PackedSameConv1d(nn.Module):
     use_bias: bool = True
     use_weight_norm: bool = False
     kernel_init: str = "torch_default"
+    dtype: object = None  # compute dtype (params stay f32), as in Conv1d
     time_pack: int = 4
 
     @nn.compact
@@ -109,6 +111,10 @@ class _PackedSameConv1d(nn.Module):
         if self.use_bias:
             b = self.param("b", torch_bias_init(shape[0] * shape[1]),
                            (self.features,))
+        if self.dtype is not None:
+            xp = xp.astype(self.dtype)
+            w = w.astype(self.dtype)
+            b = b.astype(self.dtype) if b is not None else None
         wp, lo, hi = pack_kernel_jnp(w, self.dilation, self.time_pack)
         return packed_conv1d(xp, wp, lo, hi, b, p=self.time_pack)
 

@@ -135,8 +135,11 @@ def conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None = None, *,
             x.shape[-1], w.shape[-1], groups):
         w = _grouped_to_dense(w, groups)
         groups = 1
+    t_out = (x.shape[1] + pad[0][0] + pad[0][1]
+             - dilation * (w.shape[0] - 1) - 1) // stride + 1
     if (MXU_REWRITES and groups == 1 and 1 < w.shape[0] <= 64
-            and x.shape[-1] <= 16 and x.shape[-1] * w.shape[0] <= 256):
+            and x.shape[-1] <= 16 and x.shape[-1] * w.shape[0] <= 256
+            and t_out >= 1):
         return _conv1d_tap_matmul(x, w, b, stride=stride, pad=pad[0],
                                   dilation=dilation, precision=precision)
     y = lax.conv_general_dilated(

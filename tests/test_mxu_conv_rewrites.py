@@ -45,6 +45,18 @@ def test_cin1_tap_matmul(plain, k, stride, padding, dilation):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_degenerate_short_input_falls_through(plain):
+    """T < K with no padding: t_out == 0; the rewrite must defer to the
+    native lowering's empty-output behavior instead of slicing negatively."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 5, 1)).astype(np.float32)
+    w = rng.standard_normal((15, 1, 8)).astype(np.float32)
+    got = C.conv1d(x, w, None)
+    with plain():
+        want = C.conv1d(x, w, None)
+    assert got.shape == want.shape == (2, 0, 8)
+
+
 @pytest.mark.parametrize("c_in,k", [(4, 7), (13, 7), (16, 16), (11, 5)])
 def test_narrow_cin_tap_matmul(plain, c_in, k):
     rng = np.random.default_rng(7)
