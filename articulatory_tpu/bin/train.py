@@ -192,7 +192,10 @@ def init_models(config, batch, seed=0):
                        config.get("discriminator_params", {}))
     gen2 = None
     if "generator2_type" in config:
-        gen2 = build_model(config["generator2_type"], config["generator2_params"])
+        gen2 = build_model(config["generator2_type"],
+                           inject_time_packing(config["generator2_type"],
+                                               config["generator2_params"],
+                                               config))
 
     key = jax.random.PRNGKey(seed)
     k_g, k_g2, k_d, k_n, k_w = jax.random.split(key, 5)

@@ -58,10 +58,20 @@ def parse_dataset_mode(dataset_mode: str) -> tuple[str, str, bool, bool, bool]:
         "ph2a": ("ph", "art", False, False, True),
         "ph2m": ("ph", "mel", False, True, False),
         "m2w": ("mel", "audio", True, True, False),
+        # 'default' = config omitted the key (train.py); the articulatory
+        # default is a2w. The reference IndexErrors here (train.py:958
+        # xy[1] on a 1-element split) — resolving is strictly better.
+        "default": ("art", "audio", True, False, True),
     }
     if dataset_mode in named:
         return named[dataset_mode]
     xy = dataset_mode.split("2")
+    if len(xy) < 2:
+        logging.warning(
+            f"dataset_mode {dataset_mode!r} has no '2' separator; resolving "
+            f"to a2w semantics (the reference raises IndexError here, "
+            f"train.py:958)")
+        return named["a2w"]
     x_key, y_key = xy[0], xy[1]
     produced = {"art", "audio"}  # generic branch: use_audio=True, use_art=True
     if x_key not in produced:

@@ -1,164 +1,19 @@
 #!/usr/bin/env python3
-"""Parallel array-job launcher — python replacement for Kaldi's run.pl family.
+"""Recipe shim — the run.pl-family launcher lives in
+``articulatory_tpu.utils.run_jobs`` (one shared implementation, the way
+Kaldi recipes symlink a shared utils/ tree). Kept as a real file so the
+recipe dir works standalone: falls back to the repo-root path when the
+package is not installed."""
 
-Interface (run.pl parity, reference egs/*/voc1/cmd.sh:1-28):
-  ``run_jobs.py [options] JOB=1:N log/xxx.JOB.log cmd --args JOB ...``
-Each job runs with the literal token ``JOB`` substituted by its index; logs
-go to the per-job log file. Exits nonzero if any job fails (mirrors
-launch.py:156-159 / run.pl semantics).
-
-Backends (reference cmd.sh:31-92 backend switch):
-  local   run all jobs as subprocesses on this host (run.pl)
-  stdout  like local but job output goes to stdout (stdout.pl)
-  slurm   submit one ``sbatch --wait --array`` job (slurm.pl)
-  sge     submit one ``qsub -sync y -t`` array job (queue.pl)
-  ssh     round-robin jobs over hosts in .queue/machines (ssh.pl)
-Select with --backend or the RUN_JOBS_BACKEND env var (cmd.sh exports it).
-
-Scheduler options (unified across backends, ignored where meaningless):
-  --mem 4G  --time 12:00:00  --num-threads N  --gpu N  --max-jobs-run N
-"""
-
-from __future__ import annotations
-
-import argparse
 import os
-import re
-import shlex
-import subprocess
 import sys
-import tempfile
 
-
-def parse_args(argv):
-    parser = argparse.ArgumentParser(add_help=False)
-    parser.add_argument("--backend",
-                        default=os.environ.get("RUN_JOBS_BACKEND", "local"),
-                        choices=["local", "stdout", "slurm", "sge", "ssh"])
-    parser.add_argument("--mem", default=None)
-    parser.add_argument("--time", default=None)
-    parser.add_argument("--num-threads", type=int, default=None)
-    parser.add_argument("--gpu", type=int, default=None)
-    parser.add_argument("--max-jobs-run", type=int, default=None)
-    parser.add_argument("--machines", default=".queue/machines",
-                        help="host list for the ssh backend (one per line)")
-    opts, rest = parser.parse_known_args(argv)
-
-    m = re.match(r"JOB=(\d+):(\d+)$", rest[0]) if rest else None
-    if m:
-        lo, hi = int(m.group(1)), int(m.group(2))
-        logpat, cmd = rest[1], rest[2:]
-    else:
-        lo = hi = 1
-        logpat, cmd = rest[0], rest[1:]
-    return opts, lo, hi, logpat, cmd
-
-
-def _array_script(cmd: list[str], task_var: str) -> str:
-    """Shell script body running the command with JOB -> scheduler task id."""
-    quoted = " ".join(
-        shlex.quote(c).replace("JOB", f'"${{{task_var}}}"') for c in cmd)
-    return f"#!/bin/bash\n{quoted}\n"
-
-
-def build_submission(backend: str, lo: int, hi: int, logpat: str,
-                     cmd: list[str], opts) -> tuple[list[str], str]:
-    """Construct (scheduler argv, array script text) — pure, for unit tests.
-
-    The argv's final element is the placeholder ``__SCRIPT__``; the caller
-    writes the script to a temp file and substitutes its path.
-    """
-    if backend == "slurm":
-        # slurm.pl semantics: one array job, %a = task id in log names,
-        # --wait blocks until the whole array finishes (run.sh is
-        # synchronous), exit status reflects job failures
-        argv = ["sbatch", "--wait", "--export=ALL",
-                f"--array={lo}-{hi}"
-                + (f"%{opts.max_jobs_run}" if opts.max_jobs_run else ""),
-                "-o", logpat.replace("JOB", "%a"),
-                "-e", logpat.replace("JOB", "%a")]
-        if opts.mem:
-            argv += [f"--mem={opts.mem}"]
-        if opts.time:
-            argv += [f"--time={opts.time}"]
-        if opts.num_threads:
-            argv += [f"--cpus-per-task={opts.num_threads}"]
-        if opts.gpu:
-            argv += [f"--gres=gpu:{opts.gpu}"]
-        return argv + ["__SCRIPT__"], _array_script(cmd, "SLURM_ARRAY_TASK_ID")
-    if backend == "sge":
-        # queue.pl semantics: qsub -t array, -sync y blocks until done,
-        # $TASK_ID in -o gives per-task logs on SGE ('$TASK_ID' literal)
-        argv = ["qsub", "-cwd", "-sync", "y", "-b", "n", "-j", "y",
-                "-t", f"{lo}-{hi}",
-                "-o", logpat.replace("JOB", "$TASK_ID")]
-        if opts.mem:
-            argv += ["-l", f"mem_free={opts.mem},ram_free={opts.mem}"]
-        if opts.time:
-            argv += ["-l", f"h_rt={opts.time}"]
-        if opts.num_threads:
-            argv += ["-pe", "smp", str(opts.num_threads)]
-        if opts.gpu:
-            argv += ["-l", f"gpu={opts.gpu}"]
-        if opts.max_jobs_run:
-            argv += ["-tc", str(opts.max_jobs_run)]
-        return argv + ["__SCRIPT__"], _array_script(cmd, "SGE_TASK_ID")
-    raise ValueError(f"no submission command for backend {backend!r}")
-
-
-def _run_local(lo, hi, logpat, cmd, to_stdout=False, hosts=None):
-    procs = []
-    for job in range(lo, hi + 1):
-        jcmd = [c.replace("JOB", str(job)) for c in cmd]
-        if hosts is not None:  # ssh.pl round-robin
-            host = hosts[(job - lo) % len(hosts)]
-            jcmd = ["ssh", "-o", "BatchMode=yes", host,
-                    f"cd {shlex.quote(os.getcwd())} && "
-                    + " ".join(shlex.quote(c) for c in jcmd)]
-        if to_stdout:
-            procs.append((job, subprocess.Popen(jcmd)))
-            continue
-        jlog = logpat.replace("JOB", str(job))
-        os.makedirs(os.path.dirname(jlog) or ".", exist_ok=True)
-        with open(jlog, "w") as logf:
-            procs.append((job, subprocess.Popen(jcmd, stdout=logf,
-                                                stderr=subprocess.STDOUT)))
-    return [job for job, p in procs if p.wait() != 0]
-
-
-def main():
-    opts, lo, hi, logpat, cmd = parse_args(sys.argv[1:])
-
-    if opts.backend in ("local", "stdout"):
-        failed = _run_local(lo, hi, logpat, cmd,
-                            to_stdout=opts.backend == "stdout")
-    elif opts.backend == "ssh":
-        if not os.path.exists(opts.machines):
-            print(f"run_jobs.py: ssh backend needs a host list at "
-                  f"{opts.machines}", file=sys.stderr)
-            sys.exit(1)
-        with open(opts.machines) as f:
-            hosts = [line.strip() for line in f if line.strip()]
-        failed = _run_local(lo, hi, logpat, cmd, hosts=hosts)
-    else:
-        argv, script = build_submission(opts.backend, lo, hi, logpat, cmd, opts)
-        os.makedirs(os.path.dirname(logpat.replace("JOB", "1")) or ".",
-                    exist_ok=True)
-        with tempfile.NamedTemporaryFile(
-                "w", suffix=".sh", prefix="run_jobs.",
-                delete=False) as f:
-            f.write(script)
-            script_path = f.name
-        os.chmod(script_path, 0o755)
-        argv = [script_path if a == "__SCRIPT__" else a for a in argv]
-        rc = subprocess.call(argv)
-        failed = [f"array rc={rc}"] if rc != 0 else []
-
-    if failed:
-        print(f"run_jobs.py: jobs failed: {failed} (see {logpat})",
-              file=sys.stderr)
-        sys.exit(1)
-
+try:
+    from articulatory_tpu.utils.run_jobs import main
+except ImportError:
+    sys.path.insert(0, os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", "..", "..")))
+    from articulatory_tpu.utils.run_jobs import main
 
 if __name__ == "__main__":
     main()

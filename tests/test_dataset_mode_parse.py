@@ -146,3 +146,24 @@ def test_wave_output_mode_dispatch():
         assert is_wave_output_mode(m), m
     for m in ("w2a", "ph2a", "ph2m", "a2m", "m2a", "art"):
         assert not is_wave_output_mode(m), m
+
+
+def test_default_mode_resolves_to_a2w():
+    """A config that omits dataset_mode reaches the collater as 'default'
+    (train.py); it must resolve to a2w semantics rather than crash
+    (regression: bare IndexError on the 1-element split('2'); the
+    reference IndexErrors identically at train.py:958)."""
+    assert parse_dataset_mode("default") == parse_dataset_mode("a2w")
+    c = SpeechCollater(batch_max_steps=800, hop_size=80,
+                       dataset_mode="default")
+    assert (c.x_key, c.y_key) == ("art", "audio")
+
+
+def test_two_less_generic_mode_resolves_with_warning(caplog):
+    """Any other '2'-less mode string resolves to a2w semantics with a
+    warning instead of an unexplained IndexError."""
+    import logging as _logging
+
+    with caplog.at_level(_logging.WARNING):
+        assert parse_dataset_mode("artwave") == parse_dataset_mode("a2w")
+    assert any("no '2' separator" in r.message for r in caplog.records)

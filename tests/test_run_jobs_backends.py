@@ -4,7 +4,6 @@ Pure command-construction tests — no scheduler needed. Plus an executed
 local-backend smoke test (the default path run.sh actually uses).
 """
 
-import importlib.util
 import os
 import subprocess
 import sys
@@ -12,19 +11,20 @@ import sys
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# the recipe files are thin shims over the shared package module
 RUN_JOBS = os.path.join(ROOT, "egs", "ema", "voc1", "utils", "run_jobs.py")
 
 
 def _load():
-    spec = importlib.util.spec_from_file_location("run_jobs", RUN_JOBS)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    from articulatory_tpu.utils import run_jobs
+    return run_jobs
 
 
-def test_ema_and_mri_launchers_identical():
+def test_ema_and_mri_shims_identical():
     mri = os.path.join(ROOT, "egs", "mri", "voc1", "utils", "run_jobs.py")
     assert open(RUN_JOBS).read() == open(mri).read()
+    # and both are shims over the one shared implementation
+    assert "articulatory_tpu.utils.run_jobs" in open(RUN_JOBS).read()
 
 
 def test_parse_args_array_and_options():
@@ -37,6 +37,34 @@ def test_parse_args_array_and_options():
     assert logpat == "log/x.JOB.log" and cmd == ["echo", "JOB"]
     assert (opts.mem, opts.time, opts.num_threads, opts.gpu,
             opts.max_jobs_run) == ("4G", "12:00:00", 2, 1, 5)
+
+
+def test_options_after_positional_belong_to_the_job():
+    """run.pl parity: scheduler flags are only recognized BEFORE the JOB
+    spec; ``--gpu``/``--time`` etc. after it belong to the wrapped command
+    (regression: parse_known_args used to steal them)."""
+    rj = _load()
+    opts, lo, hi, logpat, cmd = rj.parse_args(
+        ["JOB=1:2", "log/x.JOB.log",
+         "python", "train.py", "--gpu", "2", "--time", "10:00"])
+    assert (lo, hi, logpat) == (1, 2, "log/x.JOB.log")
+    assert cmd == ["python", "train.py", "--gpu", "2", "--time", "10:00"]
+    assert opts.gpu is None and opts.time is None
+
+
+def test_array_script_job_expands_inside_quoted_args(tmp_path):
+    """JOB inside an argument that shlex must quote still expands to the
+    scheduler task id (regression: quote-then-replace buried the variable
+    reference inside single quotes)."""
+    rj = _load()
+    script = rj._array_script(
+        ["python3", "-c", "print('job JOB ok')"], "SLURM_ARRAY_TASK_ID")
+    path = tmp_path / "array.sh"
+    path.write_text(script)
+    out = subprocess.run(
+        ["bash", str(path)], capture_output=True, text=True,
+        env={**os.environ, "SLURM_ARRAY_TASK_ID": "7"})
+    assert out.returncode == 0 and out.stdout.strip() == "job 7 ok"
 
 
 def test_backend_env_var_default(monkeypatch):

@@ -74,6 +74,38 @@ def test_train_init_models_honors_top_level_key(rng):
     assert "time_packing" not in config["generator_params"]  # no mutation
 
 
+def test_train_init_models_injects_into_generator2(rng):
+    """The cascade's second generator gets the same top-level packing key
+    (regression: only the primary generator was injected, so train built
+    gen2 unpacked while load_model built it packed)."""
+    from articulatory_tpu.bin.train import init_models
+
+    config = {
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": dict(GEN_PARAMS),
+        "generator2_type": "HiFiGANGenerator",
+        "generator2_params": dict(GEN_PARAMS, in_channels=1, channels=16,
+                                  upsample_scales=[2, 2],
+                                  upsample_kernel_sizes=[4, 4]),
+        "discriminator_type": "HiFiGANMultiScaleMultiPeriodDiscriminator",
+        "discriminator_params": {
+            "scales": 1,
+            "scale_discriminator_params": {"channels": 8,
+                                           "max_downsample_channels": 16,
+                                           "max_groups": 2},
+            "periods": [2],
+            "period_discriminator_params": {"channels": 2,
+                                            "max_downsample_channels": 4}},
+        "time_packing": "auto",
+    }
+    batch = {"x": (rng.standard_normal((1, 20, 13)).astype(np.float32),),
+             "y": rng.standard_normal((1, 6400, 1)).astype(np.float32)}
+    gen, gen2, *_ = init_models(config, batch)
+    assert gen.time_packing == "auto"
+    assert gen2.time_packing == "auto"
+    assert "time_packing" not in config["generator2_params"]  # no mutation
+
+
 def test_load_model_honors_top_level_key(tmp_path, rng):
     import flax.serialization
 
