@@ -65,6 +65,19 @@ def parse_dataset_mode(dataset_mode: str) -> tuple[str, str, bool, bool, bool]:
     }
     if dataset_mode in named:
         return named[dataset_mode]
+    if dataset_mode in ("a2w_mult", "a2w_pcd"):
+        # decode-only mode names (reference decode.py:229,254). Training
+        # them through SpeechCollater is unsupported in the reference too
+        # (KeyError on the split('2') keys, train.py:1069); refusing beats
+        # silently training plain a2w semantics. PCD *training* is the
+        # top-level `use_pcd: true` config key with dataset_mode a2w
+        # (reference train.py:115,334); multimodal training is not wired in
+        # the reference trainer (SpeechCollaterMult is decode-side only).
+        raise ValueError(
+            f"dataset_mode {dataset_mode!r} is decode-only; train with "
+            f"dataset_mode 'a2w'"
+            + (" and use_pcd: true" if dataset_mode == "a2w_pcd" else "")
+            + " instead")
     xy = dataset_mode.split("2")
     if len(xy) < 2:
         logging.warning(

@@ -74,9 +74,11 @@ class HiFiGANGenerator(nn.Module):
     compute_dtype: Any = None
     # per-stage space-to-depth packing factors for the MRF resblocks
     # (ops/packed_conv.py): numerically identical (diff ~2e-4 fp reorder).
-    # Measured: 2x faster on an ISOLATED narrow stage (C=32, T=8000), but
-    # neutral end-to-end on v5e — XLA already schedules the full graph well —
-    # so the default is unpacked. "auto" = 128 // stage_channels capped at 4.
+    # Measured on v5e: -24% generator forward at training shapes (32x8000)
+    # and 21.0M -> 25.4M samples/s on chunked-AR decode (docs/DESIGN.md §7);
+    # shipped recipes set the top-level `time_packing: auto` config key
+    # (config.py::inject_time_packing). "auto" = 128 // stage_channels,
+    # capped at 4. Default None = unpacked (construction-kwarg level).
     time_packing: Sequence[int] | str | None = None
     # accepted-and-ignored reference config quirks (e2w_hifigan_car.yaml:42,54)
     final_scale: Any = None

@@ -69,22 +69,12 @@ def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     return patches.reshape(batch_shape + (n_frames, frame_length))
 
 
-@functools.lru_cache(maxsize=8)
-def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
-    """Real-DFT basis (cos, sin): ``rfft(x) = x @ cos - 1j * (x @ sin)``.
-
-    Used by benchmarks/stft_variants_bench.py, which A/Bed three STFT
-    formulations at the flagship mel-loss shapes on v5e (fwd / fwd+bwd ms,
-    pipelined-sync timing): rfft 1.66 / 4.41; framed DFT-matmul 2.31 /
-    4.45; strided-conv DFT 3.12 / 16.87 (its input gradient is an
-    lhs-dilated conv XLA lowers badly). jnp.fft.rfft wins — an earlier
-    per-iteration-sync measurement that suggested otherwise was dominated
-    by the ~30 ms relay round trip, not compute. stft() therefore uses
-    plain rfft."""
-    k = np.arange(n_fft, dtype=np.float64)[:, None]
-    f = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
-    ang = 2.0 * np.pi * k * f / n_fft
-    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+# NOTE on the STFT formulation: benchmarks/stft_variants_bench.py A/Bed
+# three formulations at the flagship mel-loss shapes on v5e (fwd / fwd+bwd
+# ms, pipelined-sync timing): rfft 1.66 / 4.41; framed DFT-matmul 2.31 /
+# 4.45; strided-conv DFT 3.12 / 16.87 (its input gradient is an lhs-dilated
+# conv XLA lowers badly). jnp.fft.rfft wins — stft() below uses plain rfft;
+# the losing variants (incl. the rDFT basis builder) live in the benchmark.
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "window", "center"))

@@ -17,6 +17,8 @@ Select with --backend or the RUN_JOBS_BACKEND env var (cmd.sh exports it).
 
 Scheduler options (unified across backends, ignored where meaningless):
   --mem 4G  --time 12:00:00  --num-threads N  --gpu N  --max-jobs-run N
+--max-jobs-run caps CONCURRENCY on every backend (sliding window on
+local/stdout/ssh, %N on slurm arrays, -tc on sge), like run.pl's option.
 Like run.pl, options are only recognized BEFORE the JOB spec / log path —
 everything from the first positional onward belongs to the wrapped command
 (so ``run_jobs.py JOB=1:2 log/x.JOB.log train.py --gpu 2`` passes ``--gpu 2``
@@ -74,13 +76,20 @@ def parse_args(argv):
     rest = argv[i:]
     opts = parser.parse_args(head)
 
-    m = re.match(r"JOB=(\d+):(\d+)$", rest[0]) if rest else None
+    usage = "usage: run_jobs.py [options] [JOB=lo:hi] log/xxx.JOB.log cmd ..."
+    if not rest:
+        parser.error(f"missing log file and command\n{usage}")
+    m = re.match(r"JOB=(\d+):(\d+)$", rest[0])
     if m:
         lo, hi = int(m.group(1)), int(m.group(2))
+        if len(rest) < 2:
+            parser.error(f"missing log file after the JOB spec\n{usage}")
         logpat, cmd = rest[1], rest[2:]
     else:
         lo = hi = 1
         logpat, cmd = rest[0], rest[1:]
+    if not cmd:
+        parser.error(f"missing command to run\n{usage}")
     return opts, lo, hi, logpat, cmd
 
 
@@ -89,7 +98,10 @@ def _quote_with_job(arg: str, task_var: str) -> str:
     task-id variable OUTSIDE the quoting (quote-then-replace would bury the
     ``"${VAR}"`` reference inside single quotes where it never expands)."""
     ref = f'"${{{task_var}}}"'
-    return ref.join(shlex.quote(p) if p else "" for p in arg.split("JOB"))
+    # quote EVERY piece, including empty ones: bash concatenates adjacent
+    # words (''"$x"'' == "$x"), and a fully-empty arg must stay an '' argv
+    # entry rather than vanish from the command line
+    return ref.join(shlex.quote(p) for p in arg.split("JOB"))
 
 
 def _array_script(cmd: list[str], task_var: str) -> str:
@@ -143,9 +155,33 @@ def build_submission(backend: str, lo: int, hi: int, logpat: str,
     raise ValueError(f"no submission command for backend {backend!r}")
 
 
-def _run_local(lo, hi, logpat, cmd, to_stdout=False, hosts=None):
-    procs = []
+def _run_local(lo, hi, logpat, cmd, to_stdout=False, hosts=None,
+               max_jobs_run=None):
+    """Run the job array as local (or ssh-wrapped) subprocesses.
+
+    ``max_jobs_run`` bounds CONCURRENCY like run.pl's option of the same
+    name (run.pl enforces it as a sliding window, not batched waves)."""
+    import time as _time
+
+    cap = max_jobs_run if max_jobs_run and max_jobs_run > 0 else None
+    running: list = []
+    failed: list = []
+
+    def _reap_finished():
+        still = []
+        for job, p in running:
+            rc = p.poll()
+            if rc is None:
+                still.append((job, p))
+            elif rc != 0:
+                failed.append(job)
+        running[:] = still
+
     for job in range(lo, hi + 1):
+        while cap is not None and len(running) >= cap:
+            _reap_finished()
+            if len(running) >= cap:
+                _time.sleep(0.05)
         jcmd = [c.replace("JOB", str(job)) for c in cmd]
         if hosts is not None:  # ssh.pl round-robin
             host = hosts[(job - lo) % len(hosts)]
@@ -153,14 +189,17 @@ def _run_local(lo, hi, logpat, cmd, to_stdout=False, hosts=None):
                     f"cd {shlex.quote(os.getcwd())} && "
                     + " ".join(shlex.quote(c) for c in jcmd)]
         if to_stdout:
-            procs.append((job, subprocess.Popen(jcmd)))
+            running.append((job, subprocess.Popen(jcmd)))
             continue
         jlog = logpat.replace("JOB", str(job))
         os.makedirs(os.path.dirname(jlog) or ".", exist_ok=True)
         with open(jlog, "w") as logf:
-            procs.append((job, subprocess.Popen(jcmd, stdout=logf,
-                                                stderr=subprocess.STDOUT)))
-    return [job for job, p in procs if p.wait() != 0]
+            running.append((job, subprocess.Popen(jcmd, stdout=logf,
+                                                  stderr=subprocess.STDOUT)))
+    for job, p in running:
+        if p.wait() != 0:
+            failed.append(job)
+    return sorted(failed)
 
 
 def main():
@@ -168,7 +207,8 @@ def main():
 
     if opts.backend in ("local", "stdout"):
         failed = _run_local(lo, hi, logpat, cmd,
-                            to_stdout=opts.backend == "stdout")
+                            to_stdout=opts.backend == "stdout",
+                            max_jobs_run=opts.max_jobs_run)
     elif opts.backend == "ssh":
         if not os.path.exists(opts.machines):
             print(f"run_jobs.py: ssh backend needs a host list at "
@@ -176,11 +216,16 @@ def main():
             sys.exit(1)
         with open(opts.machines) as f:
             hosts = [line.strip() for line in f if line.strip()]
-        failed = _run_local(lo, hi, logpat, cmd, hosts=hosts)
+        failed = _run_local(lo, hi, logpat, cmd, hosts=hosts,
+                            max_jobs_run=opts.max_jobs_run)
     else:
         argv, script = build_submission(opts.backend, lo, hi, logpat, cmd, opts)
-        os.makedirs(os.path.dirname(logpat.replace("JOB", "1")) or ".",
-                    exist_ok=True)
+        # per-task log dirs: when JOB appears in a directory component
+        # (log/JOB/out.log), every task's dir must exist before the
+        # scheduler tries to open its -o/-e file
+        for job in range(lo, hi + 1):
+            os.makedirs(os.path.dirname(logpat.replace("JOB", str(job)))
+                        or ".", exist_ok=True)
         with tempfile.NamedTemporaryFile(
                 "w", suffix=".sh", prefix="run_jobs.",
                 delete=False) as f:

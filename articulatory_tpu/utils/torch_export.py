@@ -427,6 +427,20 @@ def export_checkpoint(payload: Mapping[str, Any],
         "steps": steps,
         "epochs": int(payload.get("epochs", 0)),
     }
+    if "generator2_type" in config and payload["model"].get("generator2"):
+        gen2_type = config["generator2_type"]
+        if gen2_type not in GENERATOR_EXPORTERS:
+            raise NotImplementedError(
+                f"no torch exporter for generator2 {gen2_type} "
+                f"(available: {sorted(GENERATOR_EXPORTERS)})")
+        gen2_params = fix_generator_params(config["generator2_params"])
+        mutables2 = payload.get("mutables", {}).get("generator2", {}) or {}
+        flat_g2 = GENERATOR_EXPORTERS[gen2_type](
+            payload["model"]["generator2"], mutables2, gen2_params, steps)
+        # the reference saves generator2 as a 1-TUPLE (trailing-comma quirk,
+        # reference train.py:165,172) and its load_model(generator2=True)
+        # indexes ["generator2"][0] (utils.py:335-338) — reproduce exactly
+        out["model"]["generator2"] = (to_torch_state_dict(flat_g2),)
     disc_type = config.get("discriminator_type")
     if disc_type in DISCRIMINATOR_EXPORTERS and \
             payload.get("model", {}).get("discriminator"):

@@ -44,11 +44,17 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from articulatory_tpu.ops.stft import (
-        _dft_matrices,
-        _padded_window,
-        frame_signal,
-    )
+    from articulatory_tpu.ops.stft import _padded_window, frame_signal
+
+    def _dft_matrices(n_fft):
+        """Real-DFT basis (cos, sin): rfft(x) = x @ cos - 1j * (x @ sin).
+
+        Lives here with the losing formulations it supports (ops/stft.py
+        ships plain rfft after this benchmark's A/B)."""
+        k = np.arange(n_fft, dtype=np.float64)[:, None]
+        f = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+        ang = 2.0 * np.pi * k * f / n_fft
+        return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
     n_fft, hop = args.n_fft, args.hop
     w = _padded_window("hann", n_fft, n_fft)

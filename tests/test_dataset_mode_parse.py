@@ -167,3 +167,14 @@ def test_two_less_generic_mode_resolves_with_warning(caplog):
     with caplog.at_level(_logging.WARNING):
         assert parse_dataset_mode("artwave") == parse_dataset_mode("a2w")
     assert any("no '2' separator" in r.message for r in caplog.records)
+
+
+def test_decode_only_modes_refused_for_training():
+    """a2w_mult / a2w_pcd are decode-side mode names (reference
+    decode.py:229,254); training them through SpeechCollater must fail
+    actionably rather than silently train plain-a2w semantics (the
+    reference KeyErrors on the split('2') keys, train.py:1069)."""
+    for m in ("a2w_mult", "a2w_pcd"):
+        with pytest.raises(ValueError, match="decode-only"):
+            parse_dataset_mode(m)
+        assert is_wave_output_mode(m)  # the decode dispatch still takes them

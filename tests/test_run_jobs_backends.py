@@ -139,3 +139,66 @@ def test_local_backend_failure_propagates(tmp_path):
         [sys.executable, RUN_JOBS, "JOB=1:2", logpat,
          "python3", "-c", "import sys; sys.exit(0 if 'JOB'=='1' else 1)"])
     assert rc != 0
+
+
+def test_parse_args_usage_errors():
+    """Missing positionals are a usage error, not a bare IndexError
+    (regression: an all-options argv crashed with a traceback)."""
+    rj = _load()
+    for argv in ([], ["--backend", "slurm"], ["JOB=1:2"],
+                 ["JOB=1:2", "log/x.JOB.log"], ["log/x.log"]):
+        with pytest.raises(SystemExit):
+            rj.parse_args(argv)
+
+
+def test_empty_arg_preserved_in_array_script(tmp_path):
+    """An empty-string argument survives into the batch script's argv
+    (regression: it was dropped, shifting the wrapped command's flags)."""
+    rj = _load()
+    script = rj._array_script(
+        ["python3", "-c", "import sys; print(repr(sys.argv[1:]))",
+         "--tag", "", "JOB"], "SLURM_ARRAY_TASK_ID")
+    path = tmp_path / "s.sh"
+    path.write_text(script)
+    out = subprocess.run(
+        ["bash", str(path)], capture_output=True, text=True,
+        env={**os.environ, "SLURM_ARRAY_TASK_ID": "7"})
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "['--tag', '', '7']"
+
+
+def test_local_max_jobs_run_caps_concurrency(tmp_path):
+    """run.pl parity: --max-jobs-run bounds local concurrency. Each job
+    fails if it observes another job's lock file — with a working cap of 1
+    the jobs serialize and all succeed."""
+    rj = _load()
+    locks = tmp_path / "locks"
+    locks.mkdir()
+    logpat = str(tmp_path / "c.JOB.log")
+    cmd = ["bash", "-c",
+           f'test -z "$(ls -A {locks})" || exit 1; '
+           f'touch {locks}/l.JOB; sleep 0.1; rm {locks}/l.JOB']
+    failed = rj._run_local(1, 3, logpat, cmd, max_jobs_run=1)
+    assert failed == []
+
+
+def test_batch_backend_creates_per_task_log_dirs(tmp_path, monkeypatch):
+    """Array submission pre-creates the log directory of EVERY task when
+    JOB names a directory component (regression: only task 1's dir)."""
+    rj = _load()
+    captured = {}
+
+    def fake_call(argv):
+        captured["argv"] = argv
+        return 0
+
+    monkeypatch.setattr(rj.subprocess, "call", fake_call)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        rj.sys, "argv",
+        ["run_jobs.py", "--backend", "slurm", "JOB=1:3",
+         "log/JOB/out.log", "true"])
+    rj.main()
+    for j in (1, 2, 3):
+        assert (tmp_path / "log" / str(j)).is_dir()
+    assert captured["argv"][0] == "sbatch"

@@ -288,3 +288,62 @@ def test_trained_checkpoint_consumed_by_reference_decode(reference, rng,
     sd = torch.load(out_ckpt, map_location="cpu", weights_only=False)
     assert "discriminator" in sd["model"]
     assert sd["steps"] == 2
+
+
+@requires_reference
+def test_cascade_export_generator2_tuple_quirk(reference, rng, tmp_path):
+    """Cascade checkpoints export model.generator2 as the reference's 1-TUPLE
+    (trailing-comma save quirk, reference train.py:165,172), and the
+    reference's ``load_model(generator2=True)`` — which indexes
+    ``["generator2"][0]`` (utils.py:335-338) — loads it strictly and computes
+    the same forward. Regression: generator2 was silently dropped from
+    --to-torch exports."""
+    import torch
+
+    from articulatory.utils import load_model as ref_load_model
+
+    from articulatory_tpu.models import HiFiGANGenerator
+    from articulatory_tpu.utils.torch_export import export_checkpoint
+
+    g2_cfg = dict(in_channels=8, out_channels=1, channels=16, kernel_size=7,
+                  upsample_scales=[4, 2], upsample_kernel_sizes=[8, 4],
+                  resblock_kernel_sizes=[3], resblock_dilations=[[1, 3]])
+    gen = _our_gen()
+    gen2 = HiFiGANGenerator(
+        **{**g2_cfg, "upsample_scales": (4, 2),
+           "upsample_kernel_sizes": (8, 4), "resblock_kernel_sizes": (3,),
+           "resblock_dilations": ((1, 3),)})
+    key = jax.random.PRNGKey(2)
+    params_g = jax.tree.map(np.asarray, gen.init(
+        key, jnp.zeros((1, 10, 13)), ar=jnp.zeros((1, 64, 1)))["params"])
+    params_g2 = jax.tree.map(
+        np.asarray, gen2.init(key, jnp.zeros((1, 12, 8)))["params"])
+
+    config = {
+        "format": "hdf5",
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": dict(CAR_GEN_CFG),
+        "generator2_type": "HiFiGANGenerator",
+        "generator2_params": dict(g2_cfg),
+        "discriminator_type": "HiFiGANMultiScaleMultiPeriodDiscriminator",
+        "discriminator_params": dict(DISC_CFG),
+    }
+    payload = {"model": {"generator": params_g, "generator2": params_g2},
+               "steps": 3, "epochs": 1}
+    out = export_checkpoint(payload, config)
+
+    assert isinstance(out["model"]["generator2"], tuple)
+    assert len(out["model"]["generator2"]) == 1
+
+    ckpt = str(tmp_path / "cascade.pkl")
+    torch.save(out, ckpt)
+    ref2 = ref_load_model(ckpt, config, generator2=True)
+    ref2.eval()
+
+    x = rng.standard_normal((2, 8, 12)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref2(torch.from_numpy(x)).numpy()
+    y = np.asarray(gen2.apply({"params": params_g2},
+                              jnp.asarray(np.transpose(x, (0, 2, 1)))))
+    np.testing.assert_allclose(np.transpose(y, (0, 2, 1)), y_ref,
+                               rtol=1e-3, atol=1e-4)
