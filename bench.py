@@ -40,6 +40,14 @@ def main():
     import argparse
 
     parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=BATCH,
+                        help="utterances per AR chunk batch (default 16; "
+                             "sweep knob — the shipped default is the "
+                             "measured optimum)")
+    parser.add_argument("--gen-bf16", action="store_true",
+                        help="generator conv stack in bfloat16 (params f32; "
+                             "numerics-changing — quality impact quantified "
+                             "in docs/DESIGN.md before any default change)")
     parser.add_argument("--no-time-packing", action="store_true",
                         help="disable the exact-equivalence space-to-depth "
                              "packing of the narrow late stages (packing is "
@@ -62,16 +70,17 @@ def main():
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
         use_ar=True, ar_input=AR_INPUT, ar_hidden=256, ar_output=128,
-        time_packing=None if args.no_time_packing else "auto")
+        time_packing=None if args.no_time_packing else "auto",
+        compute_dtype=jnp.bfloat16 if args.gen_bf16 else None)
 
     n_frames = int(SECONDS_PER_UTT * FRAME_RATE)
     n_chunks = n_frames // CHUNK_FRAMES
     rng = np.random.default_rng(0)
     feats = jnp.asarray(
-        rng.standard_normal((n_chunks, BATCH, CHUNK_FRAMES, 13)), jnp.float32)
+        rng.standard_normal((n_chunks, args.batch, CHUNK_FRAMES, 13)), jnp.float32)
 
     c0 = feats[0]
-    ar0 = jnp.zeros((BATCH, AR_INPUT, 1), jnp.float32)
+    ar0 = jnp.zeros((args.batch, AR_INPUT, 1), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), c0, ar=ar0)
     params = variables["params"]
 
@@ -88,7 +97,7 @@ def main():
     chunk_list = [feats[i] for i in range(n_chunks)]  # device-resident chunks
 
     def synthesize(params, chunks):
-        prev = jnp.zeros((BATCH, AR_INPUT, 1), jnp.float32)
+        prev = jnp.zeros((args.batch, AR_INPUT, 1), jnp.float32)
         total = 0
         for cin in chunks:
             out, prev = chunk_fwd(params, cin, prev)

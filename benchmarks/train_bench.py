@@ -31,6 +31,10 @@ def main():
                         "on the generator's narrow late stages")
     p.add_argument("--gen-bf16", action="store_true",
                    help="generator conv stack in bfloat16 (params f32)")
+    p.add_argument("--disc-bf16", action="store_true",
+                   help="all 8 discriminators in bfloat16 (A/B: measured "
+                        "slower than f32 pre-MXU-rewrites; re-testable here "
+                        "with the rewrites on)")
     args = p.parse_args()
 
     import jax
@@ -75,7 +79,8 @@ def main():
         use_ar=True, ar_input=512, ar_hidden=256, ar_output=128,
         time_packing="auto" if args.time_packing else None,
         compute_dtype=jnp.bfloat16 if args.gen_bf16 else None)
-    disc = HiFiGANMultiScaleMultiPeriodDiscriminator()
+    disc = HiFiGANMultiScaleMultiPeriodDiscriminator(
+        compute_dtype=jnp.bfloat16 if args.disc_bf16 else None)
 
     b, t = args.batch, args.batch_max_steps
     rng = np.random.default_rng(0)
