@@ -26,9 +26,15 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 50 * 16000
 
-# workload: batch of utterances, each N seconds of 200 Hz features
-# (batch sweep on v5e: 8 -> 20.0M, 16 -> 20.6M, 32 -> 19.8M samples/s)
-BATCH = 16
+# workload: batch of utterances, each N seconds of 200 Hz features.
+# Batch sweep on v5e WITH the default time packing (samples/s):
+#   16 -> 25.1M, 24 -> 26.5M, 32 -> 26.8M, 48 -> 28.4M, 64 -> 29.7M,
+#   80 -> 31.1M, 96 -> 32.2M, 112 -> 32.6-32.9M, 120 -> 28.8M, 128 -> 29.3M
+# (the pre-packing sweep peaked at 16: 8 -> 20.0M, 16 -> 20.6M, 32 -> 19.8M
+# — packing moved the knee). 112 is the measured optimum; offline batched
+# synthesis is the headline workload, per-utterance latency is the
+# streaming bench's metric (articulatory_tpu/streaming.py).
+BATCH = 112
 SECONDS_PER_UTT = 30.0
 FRAME_RATE = 200
 HOP = 80
