@@ -96,9 +96,29 @@ class HiFiGANGenerator(nn.Module):
                 "only 'default' output_paddings are implemented"
         return pads, out_pads
 
-    @nn.compact
+    @property
+    def num_pipeline_stages(self) -> int:
+        """Stage 0 = conditioning + input conv; stages 1..U = one upsample +
+        MRF group each; stage U+1 = output conv (+ optional ph head)."""
+        return len(self.upsample_scales) + 2
+
     def __call__(self, c: Array, spk_id: Array | None = None,
                  ar: Array | None = None, ph: Array | None = None):
+        return self.run_stages(c, 0, self.num_pipeline_stages,
+                               spk_id=spk_id, ar=ar, ph=ph)
+
+    @nn.compact
+    def run_stages(self, c: Array, start_stage: int, stop_stage: int,
+                   spk_id: Array | None = None, ar: Array | None = None,
+                   ph: Array | None = None):
+        """Run pipeline stages ``[start_stage, stop_stage)`` only.
+
+        ``run_stages(x, 0, num_pipeline_stages)`` is exactly the full forward;
+        chaining contiguous ranges reproduces it bit-for-bit (stage handoffs
+        are the raw inter-stage activations, dtype preserved). This is the
+        substrate for pipeline-parallel serving (parallel/pp.py) — the
+        reference has no pipeline parallelism (SURVEY.md §2.10).
+        """
         assert self.kernel_size % 2 == 1, "Kernel size must be odd number."
         assert len(self.upsample_scales) == len(self.upsample_kernel_sizes)
         assert len(self.resblock_dilations) == len(self.resblock_kernel_sizes)
@@ -107,37 +127,41 @@ class HiFiGANGenerator(nn.Module):
         pads, out_pads = self._paddings()
         num_blocks = len(self.resblock_kernel_sizes)
 
-        if self.use_ar:
-            ar_feats = PastFCEncoder(input_len=self.ar_input,
-                                     hidden_dim=self.ar_hidden,
-                                     output_dim=self.ar_output,
-                                     name="ar_model")(ar)  # (B, ar_output)
-            ar_feats = jnp.broadcast_to(ar_feats[:, None, :],
-                                        (c.shape[0], c.shape[1], self.ar_output))
-            c = jnp.concatenate([c, ar_feats], axis=-1)
-        if self.use_spk_id:
-            assert self.num_spk is not None
-            spk_emb = Embed(self.num_spk, self.spk_emb_size, name="spk_emb_mat")(spk_id)
-            spk_emb = Dense(self.in_channels, name="spk_fc")(spk_emb)
-            c = c + spk_emb[:, None, :]
-        if self.use_ph:
-            assert self.num_ph is not None
-            ph_feats = Embed(self.num_ph, self.ph_emb_size, name="ph_emb_mat")(ph)
-            c = jnp.concatenate([c, ph_feats], axis=-1)
-
-        if self.compute_dtype is not None:
-            c = c.astype(self.compute_dtype)
         from articulatory_tpu.ops.packed_conv import pack_time, unpack_time
 
         # with weight norm OFF the reference's post-norm N(0, 0.01) reset is
         # effective (it is a no-op only under weight norm) — mirror that
         # regime, same as gblock_gen.py
         kinit = "torch_default" if self.use_weight_norm else "normal:0.01"
-        c = Conv1d(self.channels, self.kernel_size,
-                   padding=(self.kernel_size - 1) // 2, use_bias=True,
-                   use_weight_norm=self.use_weight_norm, kernel_init=kinit,
-                   dtype=self.compute_dtype, name="input_conv")(c)
+
+        if start_stage == 0:
+            if self.use_ar:
+                ar_feats = PastFCEncoder(input_len=self.ar_input,
+                                         hidden_dim=self.ar_hidden,
+                                         output_dim=self.ar_output,
+                                         name="ar_model")(ar)  # (B, ar_output)
+                ar_feats = jnp.broadcast_to(ar_feats[:, None, :],
+                                            (c.shape[0], c.shape[1], self.ar_output))
+                c = jnp.concatenate([c, ar_feats], axis=-1)
+            if self.use_spk_id:
+                assert self.num_spk is not None
+                spk_emb = Embed(self.num_spk, self.spk_emb_size, name="spk_emb_mat")(spk_id)
+                spk_emb = Dense(self.in_channels, name="spk_fc")(spk_emb)
+                c = c + spk_emb[:, None, :]
+            if self.use_ph:
+                assert self.num_ph is not None
+                ph_feats = Embed(self.num_ph, self.ph_emb_size, name="ph_emb_mat")(ph)
+                c = jnp.concatenate([c, ph_feats], axis=-1)
+
+            if self.compute_dtype is not None:
+                c = c.astype(self.compute_dtype)
+            c = Conv1d(self.channels, self.kernel_size,
+                       padding=(self.kernel_size - 1) // 2, use_bias=True,
+                       use_weight_norm=self.use_weight_norm, kernel_init=kinit,
+                       dtype=self.compute_dtype, name="input_conv")(c)
         for i in range(len(self.upsample_scales)):
+            if not (start_stage <= i + 1 < stop_stage):
+                continue
             ch = self.channels // (2 ** (i + 1))
             c = act(c)
             c = ConvTranspose1d(ch, self.upsample_kernel_sizes[i],
@@ -172,6 +196,9 @@ class HiFiGANGenerator(nn.Module):
             c = cs / num_blocks
             if p > 1:
                 c = unpack_time(c, p)
+
+        if stop_stage < self.num_pipeline_stages:
+            return c  # inter-stage activation handoff (dtype preserved)
 
         pre_out = c
         # reference output conv uses torch's default LeakyReLU slope (0.01)

@@ -4,3 +4,7 @@ from articulatory_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     init_distributed,
 )
+from articulatory_tpu.parallel.pp import (  # noqa: F401
+    PipelinedGenerator,
+    even_boundaries,
+)

@@ -47,9 +47,8 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=BATCH,
-                        help="utterances per AR chunk batch (default 16; "
-                             "sweep knob — the shipped default is the "
-                             "measured optimum)")
+                        help=f"utterances per AR chunk batch (default {BATCH}, "
+                             "the measured sweep optimum)")
     parser.add_argument("--gen-bf16", action="store_true",
                         help="generator conv stack in bfloat16 (params f32; "
                              "numerics-changing — quality impact quantified "
