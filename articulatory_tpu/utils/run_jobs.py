@@ -41,8 +41,75 @@ import tempfile
 # options recognized before the JOB spec (run.pl-style prefix parsing)
 _SCHEDULER_OPTS = {
     "--backend", "--mem", "--time", "--num-threads", "--gpu",
-    "--max-jobs-run", "--machines",
+    "--max-jobs-run", "--machines", "--config",
 }
+
+
+class QueueConf:
+    """Kaldi queue.pl/slurm.pl config (reference conf/slurm.conf schema).
+
+    Lines:
+      ``command <submit cmd...>``        base scheduler command
+      ``option <name>=* <args...>``      map option to args, $0 = the value
+      ``option <name>=<val> <args...>``  exact-value override (args may be
+                                         empty: emit nothing for that value)
+      ``default <name>=<val>``           value used when the option is unset
+    """
+
+    def __init__(self, command: list[str], options: dict, defaults: dict):
+        self.command = command
+        self.options = options      # {(name, "*" | value): [args]}
+        self.defaults = defaults    # {name: value}
+
+    @classmethod
+    def parse(cls, text: str) -> "QueueConf":
+        command: list[str] = []
+        options: dict = {}
+        defaults: dict = {}
+        for ln, raw in enumerate(text.splitlines(), 1):
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            toks = line.split()
+            if toks[0] == "command":
+                command = toks[1:]
+            elif toks[0] == "option" and len(toks) >= 2 and "=" in toks[1]:
+                name, val = toks[1].split("=", 1)
+                options[(name, val)] = toks[2:]
+            elif toks[0] == "default" and len(toks) == 2 and "=" in toks[1]:
+                name, val = toks[1].split("=", 1)
+                defaults[name] = val
+            else:
+                raise ValueError(f"bad config line {ln}: {raw!r}")
+        if not command:
+            raise ValueError("config defines no 'command' line")
+        return cls(command, options, defaults)
+
+    def expand(self, values: dict) -> list[str]:
+        """Scheduler args for the given unified-option values.
+
+        ``values``: {name: value-or-None}; defaults fill unset names; names
+        with neither a value nor a default are skipped. Unknown names with a
+        value error out (queue.pl behavior).
+        """
+        vals = dict(values)
+        for name, d in self.defaults.items():
+            if vals.get(name) is None:
+                vals[name] = d
+        out: list[str] = []
+        for name, v in vals.items():
+            if v is None:
+                continue
+            v = str(v)
+            if (name, v) in self.options:
+                out += self.options[(name, v)]
+            elif (name, "*") in self.options:
+                out += [a.replace("$0", v) for a in self.options[(name, "*")]]
+            else:
+                raise ValueError(
+                    f"config has no rule for option {name}={v} "
+                    f"(add 'option {name}=*' or 'option {name}={v}')")
+        return out
 
 
 def parse_args(argv):
@@ -57,6 +124,9 @@ def parse_args(argv):
     parser.add_argument("--max-jobs-run", type=int, default=None)
     parser.add_argument("--machines", default=".queue/machines",
                         help="host list for the ssh backend (one per line)")
+    parser.add_argument("--config", default=None,
+                        help="queue.pl-style option-mapping config (e.g. "
+                             "conf/slurm.conf) for the slurm/sge backends")
 
     # run.pl semantics: scheduler options appear only before the JOB spec /
     # log path; stop at the first non-option token so flags belonging to the
@@ -116,7 +186,38 @@ def build_submission(backend: str, lo: int, hi: int, logpat: str,
 
     The argv's final element is the placeholder ``__SCRIPT__``; the caller
     writes the script to a temp file and substitutes its path.
+
+    With ``opts.config`` (queue.pl/slurm.pl ``--config conf/slurm.conf``
+    parity, reference cmd.sh:58-60 + conf/slurm.conf), the config's
+    ``command`` line replaces the base submit command and its option table
+    maps --mem/--time/--num-threads/--gpu onto scheduler flags; the
+    structural flags (array spec, blocking, log paths, --max-jobs-run) stay
+    backend-determined, as in slurm.pl.
     """
+    conf = None
+    if getattr(opts, "config", None):
+        with open(opts.config) as f:
+            conf = QueueConf.parse(f.read())
+    if conf is not None:
+        values = {"mem": opts.mem, "time": opts.time,
+                  "num_threads": opts.num_threads, "gpu": opts.gpu}
+        if backend == "slurm":
+            argv = list(conf.command) + conf.expand(values) + [
+                "--wait",
+                f"--array={lo}-{hi}"
+                + (f"%{opts.max_jobs_run}" if opts.max_jobs_run else ""),
+                "-o", logpat.replace("JOB", "%a"),
+                "-e", logpat.replace("JOB", "%a")]
+            return argv + ["__SCRIPT__"], _array_script(cmd, "SLURM_ARRAY_TASK_ID")
+        if backend == "sge":
+            argv = list(conf.command) + conf.expand(values) + [
+                "-cwd", "-sync", "y", "-t", f"{lo}-{hi}",
+                "-o", logpat.replace("JOB", "$TASK_ID")]
+            if opts.max_jobs_run:
+                argv += ["-tc", str(opts.max_jobs_run)]
+            return argv + ["__SCRIPT__"], _array_script(cmd, "SGE_TASK_ID")
+        raise ValueError(f"--config is only meaningful for the slurm/sge "
+                         f"backends, not {backend!r}")
     if backend == "slurm":
         # slurm.pl semantics: one array job, %a = task id in log names,
         # --wait blocks until the whole array finishes (run.sh is

@@ -202,3 +202,86 @@ def test_batch_backend_creates_per_task_log_dirs(tmp_path, monkeypatch):
     for j in (1, 2, 3):
         assert (tmp_path / "log" / str(j)).is_dir()
     assert captured["argv"][0] == "sbatch"
+
+
+def test_queue_conf_parse_and_expand():
+    """queue.pl config schema: command + option rules + defaults."""
+    rj = _load()
+    conf = rj.QueueConf.parse("""
+# comment
+command sbatch --export=PATH --ntasks-per-node=1
+option time=* --time $0
+option mem=* --mem-per-cpu $0
+option mem=0
+option num_threads=* --cpus-per-task $0 --ntasks-per-node=1
+default gpu=0
+option gpu=0 -p cpu
+option gpu=* -p gpu --gres=gpu:$0
+""")
+    assert conf.command == ["sbatch", "--export=PATH", "--ntasks-per-node=1"]
+    # wildcard rule with $0 substitution
+    assert conf.expand({"mem": "4G"}) == ["--mem-per-cpu", "4G", "-p", "cpu"]
+    # exact-value override beats wildcard; empty args emit nothing
+    assert conf.expand({"mem": "0", "gpu": None}) == ["-p", "cpu"]
+    # default applies when unset; explicit value uses wildcard
+    assert conf.expand({"gpu": 2}) == ["-p", "gpu", "--gres=gpu:2"]
+    # unknown option with a value errors (queue.pl behavior)
+    with pytest.raises(ValueError):
+        conf.expand({"nope": "1"})
+    with pytest.raises(ValueError):
+        rj.QueueConf.parse("option mem=* --mem $0")  # no command line
+
+
+def test_slurm_submission_with_config(tmp_path):
+    """--config conf/slurm.conf replaces the base command and maps options;
+    structural flags (--wait, --array, -o/-e) stay backend-determined."""
+    rj = _load()
+    conf = tmp_path / "slurm.conf"
+    conf.write_text(
+        "command sbatch --export=PATH --ntasks-per-node=1\n"
+        "option mem=* --mem-per-cpu $0\n"
+        "option time=* --time $0\n"
+        "default gpu=0\n"
+        "option gpu=0 -p cpu\n"
+        "option gpu=* -p gpu --gres=gpu:$0\n")
+    opts, lo, hi, logpat, cmd = rj.parse_args(
+        ["--backend", "slurm", "--config", str(conf), "--mem", "2G",
+         "--max-jobs-run", "4", "JOB=1:8", "log/x.JOB.log", "echo", "JOB"])
+    argv, script = rj.build_submission("slurm", lo, hi, logpat, cmd, opts)
+    assert argv[:3] == ["sbatch", "--export=PATH", "--ntasks-per-node=1"]
+    assert "--mem-per-cpu" in argv and "2G" in argv
+    assert "-p" in argv and "cpu" in argv          # default gpu=0 rule
+    assert "--wait" in argv and "--array=1-8%4" in argv
+    assert "-o" in argv and "log/x.%a.log" in argv
+    assert argv[-1] == "__SCRIPT__"
+    assert "SLURM_ARRAY_TASK_ID" in script
+
+
+def test_sge_submission_with_config(tmp_path):
+    rj = _load()
+    conf = tmp_path / "queue.conf"
+    conf.write_text(
+        "command qsub -V\n"
+        "option mem=* -l mem_free=$0\n")
+    opts, lo, hi, logpat, cmd = rj.parse_args(
+        ["--backend", "sge", "--config", str(conf), "--mem", "8G",
+         "JOB=1:3", "log/y.JOB.log", "echo", "JOB"])
+    argv, script = rj.build_submission("sge", lo, hi, logpat, cmd, opts)
+    assert argv[:2] == ["qsub", "-V"]
+    assert "-l" in argv and "mem_free=8G" in argv
+    assert "-t" in argv and "1-3" in argv
+    assert "SGE_TASK_ID" in script
+
+
+def test_shipped_slurm_conf_parses():
+    """The recipes' conf/slurm.conf must parse and map the unified options."""
+    rj = _load()
+    for eg in ("ema", "mri"):
+        path = os.path.join(ROOT, "egs", eg, "voc1", "conf", "slurm.conf")
+        with open(path) as f:
+            conf = rj.QueueConf.parse(f.read())
+        args = conf.expand({"mem": "2G", "time": "12:00:00",
+                            "num_threads": 2, "gpu": None})
+        assert args == ["--mem-per-cpu", "2G", "--time", "12:00:00",
+                        "--cpus-per-task", "2", "--ntasks-per-node=1",
+                        "-p", "cpu"]
