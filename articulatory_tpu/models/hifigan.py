@@ -122,6 +122,10 @@ class HiFiGANGenerator(nn.Module):
         assert self.kernel_size % 2 == 1, "Kernel size must be odd number."
         assert len(self.upsample_scales) == len(self.upsample_kernel_sizes)
         assert len(self.resblock_dilations) == len(self.resblock_kernel_sizes)
+        if not 0 <= start_stage < stop_stage <= self.num_pipeline_stages:
+            raise ValueError(
+                f"stage range [{start_stage}, {stop_stage}) is not a "
+                f"non-empty subrange of [0, {self.num_pipeline_stages})")
         act = get_activation(self.nonlinear_activation,
                              self.nonlinear_activation_params or {"negative_slope": 0.1})
         pads, out_pads = self._paddings()

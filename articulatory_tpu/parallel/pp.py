@@ -29,7 +29,6 @@ batch-independent generator (no batch-coupled ops).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import jax
@@ -139,8 +138,8 @@ class PipelinedGenerator:
                                    method="run_stages")
         return jax.jit(fn)
 
-    def _place_params(self, c: Array, ar: Array | None,
-                      spk_id: Array | None, ph: Array | None) -> None:
+    def _place_params(self, c: Array, spk_id: Array | None,
+                      ar: Array | None, ph: Array | None) -> None:
         """Subset + device-commit each group's params (once, lazily)."""
         spec = jax.ShapeDtypeStruct
         mb = c.shape[0] // self.num_microbatches
@@ -157,14 +156,16 @@ class PipelinedGenerator:
                 sub(c), ar_spec=sub(ar), spk_spec=sub(spk_id), ph_spec=sub(ph))
             self._stage_params.append(jax.device_put(sub_params, dev))
 
-    def __call__(self, c: Array, ar: Array | None = None,
-                 spk_id: Array | None = None, ph: Array | None = None) -> Array:
+    def __call__(self, c: Array, spk_id: Array | None = None,
+                 ar: Array | None = None, ph: Array | None = None) -> Array:
+        # positional order matches HiFiGANGenerator.__call__ (c, spk_id, ar,
+        # ph) so code written against the model signature ports unchanged
         b = c.shape[0]
         m = self.num_microbatches
         if b % m != 0:
             raise ValueError(f"batch {b} not divisible by num_microbatches {m}")
         if self._stage_params is None:
-            self._place_params(c, ar, spk_id, ph)
+            self._place_params(c, spk_id, ar, ph)
 
         def split(x):
             return None if x is None else jnp.split(x, m, axis=0)

@@ -175,9 +175,52 @@ def _quote_with_job(arg: str, task_var: str) -> str:
 
 
 def _array_script(cmd: list[str], task_var: str) -> str:
-    """Shell script body running the command with JOB -> scheduler task id."""
+    """Shell script body running the command with JOB -> scheduler task id.
+
+    slurm.pl parity (reference utils/slurm.pl:373-386): the queue script
+    re-creates the submit-time environment itself, because config command
+    lines like ``sbatch --export=PATH`` (reference conf/slurm.conf:2)
+    forward nothing else — cd back to the submit cwd, re-export the
+    submit-time PATH (and PYTHONPATH, which the recipes' path.sh puts the
+    package on), then source ``./path.sh`` when present, as slurm.pl does.
+    """
     quoted = " ".join(_quote_with_job(c, task_var) for c in cmd)
-    return f"#!/bin/bash\n{quoted}\n"
+    lines = ["#!/bin/bash",
+             f"cd {shlex.quote(os.getcwd())}",
+             f"export PATH={shlex.quote(os.environ.get('PATH', ''))}"]
+    if os.environ.get("PYTHONPATH"):
+        lines.append(
+            f"export PYTHONPATH={shlex.quote(os.environ['PYTHONPATH'])}")
+    lines += ["if [ -f ./path.sh ]; then . ./path.sh; fi", quoted]
+    return "\n".join(lines) + "\n"
+
+
+def _structural_args(backend: str, lo: int, hi: int, logpat: str,
+                     opts) -> tuple[list[str], str]:
+    """Backend-determined submission flags (array spec, blocking, log
+    paths, concurrency cap) and the scheduler's task-id variable. Shared
+    by the --config and default paths so they cannot drift."""
+    if backend == "slurm":
+        # slurm.pl semantics: one array job, %a = task id in log names,
+        # --wait blocks until the whole array finishes (run.sh is
+        # synchronous), exit status reflects job failures
+        argv = ["--wait",
+                f"--array={lo}-{hi}"
+                + (f"%{opts.max_jobs_run}" if opts.max_jobs_run else ""),
+                "-o", logpat.replace("JOB", "%a"),
+                "-e", logpat.replace("JOB", "%a")]
+        return argv, "SLURM_ARRAY_TASK_ID"
+    if backend == "sge":
+        # queue.pl semantics: qsub -t array, -sync y blocks until done,
+        # -j y merges stderr into the per-task -o log, $TASK_ID in -o
+        # gives per-task logs on SGE ('$TASK_ID' literal)
+        argv = ["-cwd", "-sync", "y", "-b", "n", "-j", "y",
+                "-t", f"{lo}-{hi}",
+                "-o", logpat.replace("JOB", "$TASK_ID")]
+        if opts.max_jobs_run:
+            argv += ["-tc", str(opts.max_jobs_run)]
+        return argv, "SGE_TASK_ID"
+    raise ValueError(f"no submission command for backend {backend!r}")
 
 
 def build_submission(backend: str, lo: int, hi: int, logpat: str,
@@ -194,66 +237,34 @@ def build_submission(backend: str, lo: int, hi: int, logpat: str,
     structural flags (array spec, blocking, log paths, --max-jobs-run) stay
     backend-determined, as in slurm.pl.
     """
-    conf = None
+    structural, task_var = _structural_args(backend, lo, hi, logpat, opts)
     if getattr(opts, "config", None):
         with open(opts.config) as f:
             conf = QueueConf.parse(f.read())
-    if conf is not None:
-        values = {"mem": opts.mem, "time": opts.time,
-                  "num_threads": opts.num_threads, "gpu": opts.gpu}
-        if backend == "slurm":
-            argv = list(conf.command) + conf.expand(values) + [
-                "--wait",
-                f"--array={lo}-{hi}"
-                + (f"%{opts.max_jobs_run}" if opts.max_jobs_run else ""),
-                "-o", logpat.replace("JOB", "%a"),
-                "-e", logpat.replace("JOB", "%a")]
-            return argv + ["__SCRIPT__"], _array_script(cmd, "SLURM_ARRAY_TASK_ID")
-        if backend == "sge":
-            argv = list(conf.command) + conf.expand(values) + [
-                "-cwd", "-sync", "y", "-t", f"{lo}-{hi}",
-                "-o", logpat.replace("JOB", "$TASK_ID")]
-            if opts.max_jobs_run:
-                argv += ["-tc", str(opts.max_jobs_run)]
-            return argv + ["__SCRIPT__"], _array_script(cmd, "SGE_TASK_ID")
-        raise ValueError(f"--config is only meaningful for the slurm/sge "
-                         f"backends, not {backend!r}")
-    if backend == "slurm":
-        # slurm.pl semantics: one array job, %a = task id in log names,
-        # --wait blocks until the whole array finishes (run.sh is
-        # synchronous), exit status reflects job failures
-        argv = ["sbatch", "--wait", "--export=ALL",
-                f"--array={lo}-{hi}"
-                + (f"%{opts.max_jobs_run}" if opts.max_jobs_run else ""),
-                "-o", logpat.replace("JOB", "%a"),
-                "-e", logpat.replace("JOB", "%a")]
+        head = list(conf.command) + conf.expand(
+            {"mem": opts.mem, "time": opts.time,
+             "num_threads": opts.num_threads, "gpu": opts.gpu})
+    elif backend == "slurm":
+        head = ["sbatch", "--export=ALL"]
         if opts.mem:
-            argv += [f"--mem={opts.mem}"]
+            head += [f"--mem={opts.mem}"]
         if opts.time:
-            argv += [f"--time={opts.time}"]
+            head += [f"--time={opts.time}"]
         if opts.num_threads:
-            argv += [f"--cpus-per-task={opts.num_threads}"]
+            head += [f"--cpus-per-task={opts.num_threads}"]
         if opts.gpu:
-            argv += [f"--gres=gpu:{opts.gpu}"]
-        return argv + ["__SCRIPT__"], _array_script(cmd, "SLURM_ARRAY_TASK_ID")
-    if backend == "sge":
-        # queue.pl semantics: qsub -t array, -sync y blocks until done,
-        # $TASK_ID in -o gives per-task logs on SGE ('$TASK_ID' literal)
-        argv = ["qsub", "-cwd", "-sync", "y", "-b", "n", "-j", "y",
-                "-t", f"{lo}-{hi}",
-                "-o", logpat.replace("JOB", "$TASK_ID")]
+            head += [f"--gres=gpu:{opts.gpu}"]
+    else:  # sge (anything else was rejected by _structural_args)
+        head = ["qsub"]
         if opts.mem:
-            argv += ["-l", f"mem_free={opts.mem},ram_free={opts.mem}"]
+            head += ["-l", f"mem_free={opts.mem},ram_free={opts.mem}"]
         if opts.time:
-            argv += ["-l", f"h_rt={opts.time}"]
+            head += ["-l", f"h_rt={opts.time}"]
         if opts.num_threads:
-            argv += ["-pe", "smp", str(opts.num_threads)]
+            head += ["-pe", "smp", str(opts.num_threads)]
         if opts.gpu:
-            argv += ["-l", f"gpu={opts.gpu}"]
-        if opts.max_jobs_run:
-            argv += ["-tc", str(opts.max_jobs_run)]
-        return argv + ["__SCRIPT__"], _array_script(cmd, "SGE_TASK_ID")
-    raise ValueError(f"no submission command for backend {backend!r}")
+            head += ["-l", f"gpu={opts.gpu}"]
+    return head + structural + ["__SCRIPT__"], _array_script(cmd, task_var)
 
 
 def _run_local(lo, hi, logpat, cmd, to_stdout=False, hosts=None,
@@ -305,6 +316,13 @@ def _run_local(lo, hi, logpat, cmd, to_stdout=False, hosts=None,
 
 def main():
     opts, lo, hi, logpat, cmd = parse_args(sys.argv[1:])
+
+    if opts.config and opts.backend not in ("slurm", "sge"):
+        # cmd.sh may export a global cmd_config while the backend is still
+        # local (e.g. debugging) — say so instead of silently ignoring it
+        print(f"run_jobs.py: --config {opts.config} has no effect on the "
+              f"{opts.backend!r} backend (only slurm/sge map config options)",
+              file=sys.stderr)
 
     if opts.backend in ("local", "stdout"):
         failed = _run_local(lo, hi, logpat, cmd,

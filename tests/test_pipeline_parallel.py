@@ -120,6 +120,37 @@ def test_pipelined_generator_custom_boundaries(gen_and_inputs):
     np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-6)
 
 
+def test_run_stages_rejects_bad_ranges(gen_and_inputs):
+    """Degenerate/out-of-range stage windows are errors, not silent
+    stage-0 execution (regression: [0, 0) ran the conditioning + input
+    conv because the stage-0 block was gated on start_stage == 0 only)."""
+    model, variables, c, ar = gen_and_inputs
+    n = model.num_pipeline_stages
+    for start, stop in [(0, 0), (3, 2), (0, n + 1), (-1, n), (n, n)]:
+        with pytest.raises(ValueError):
+            model.apply(variables, c, start, stop, method="run_stages",
+                        ar=ar if start == 0 else None)
+
+
+def test_pipelined_generator_positional_order_matches_model(gen_and_inputs):
+    """PipelinedGenerator.__call__ takes (c, spk_id, ar, ph) — the model's
+    positional order — so code written against HiFiGANGenerator.__call__
+    ports unchanged (regression: ar and spk_id were swapped)."""
+    import inspect
+
+    model, variables, c, ar = gen_and_inputs
+    pipe_params = list(inspect.signature(
+        PipelinedGenerator.__call__).parameters)[1:]
+    model_params = list(inspect.signature(
+        HiFiGANGenerator.__call__).parameters)[1:]
+    assert pipe_params == model_params
+    # and a positional call routes ar into the ar slot (None spk_id)
+    pipe = PipelinedGenerator(model, variables, jax.devices()[:2])
+    out = pipe(c, None, ar)
+    full = model.apply(variables, c, ar=ar)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-6)
+
+
 def test_pipelined_generator_validation(gen_and_inputs):
     model, variables, c, ar = gen_and_inputs
     devices = jax.devices()[:2]

@@ -273,6 +273,66 @@ def test_sge_submission_with_config(tmp_path):
     assert "SGE_TASK_ID" in script
 
 
+def test_sge_config_keeps_structural_flags(tmp_path):
+    """The --config sge path carries the same structural flags as the
+    default path (regression: it dropped -j y / -b n, sending task stderr
+    to SGE's default .e files instead of the per-task log)."""
+    rj = _load()
+    conf = tmp_path / "queue.conf"
+    conf.write_text("command qsub -V\n")
+    opts, lo, hi, logpat, cmd = rj.parse_args(
+        ["--backend", "sge", "--config", str(conf), "--max-jobs-run", "2",
+         "JOB=1:3", "log/y.JOB.log", "echo", "JOB"])
+    argv_conf, _ = rj.build_submission("sge", lo, hi, logpat, cmd, opts)
+    opts.config = None
+    argv_plain, _ = rj.build_submission("sge", lo, hi, logpat, cmd, opts)
+    # identical structural tail: -cwd -sync y -b n -j y -t ... -o ... -tc
+    assert argv_conf[2:] == argv_plain[1:]
+    for flag in ("-j", "-b", "-sync", "-cwd", "-tc"):
+        assert flag in argv_conf
+
+
+def test_array_script_recreates_environment(tmp_path, monkeypatch):
+    """slurm.pl parity (reference utils/slurm.pl:373-386): the queue script
+    cds to the submit cwd, re-exports PATH/PYTHONPATH, and sources
+    ./path.sh — so conf command lines like ``sbatch --export=PATH``
+    (reference conf/slurm.conf:2) cannot strip the package off
+    PYTHONPATH in array tasks."""
+    rj = _load()
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "path.sh").write_text("export FROM_PATH_SH=yes\n")
+    monkeypatch.setenv("PYTHONPATH", "/some/pkg:/root/.axon_site")
+    script = rj._array_script(
+        ["bash", "-c", 'echo "$PWD|$PYTHONPATH|$FROM_PATH_SH|JOB"'],
+        "SLURM_ARRAY_TASK_ID")
+    path = tmp_path / "q.sh"
+    path.write_text(script)
+    out = subprocess.run(
+        ["bash", str(path)], capture_output=True, text=True, cwd="/",
+        env={"PATH": os.environ["PATH"],  # scheduler-style stripped env
+             "SLURM_ARRAY_TASK_ID": "3"})
+    assert out.returncode == 0, out.stderr
+    pwd, pythonpath, from_path_sh, job = out.stdout.strip().split("|")
+    assert pwd == str(tmp_path)
+    assert pythonpath == "/some/pkg:/root/.axon_site"
+    assert from_path_sh == "yes"
+    assert job == "3"
+
+
+def test_config_warns_on_local_backend(tmp_path):
+    """--config with a non-scheduler backend is called out on stderr
+    instead of being silently ignored."""
+    conf = tmp_path / "slurm.conf"
+    conf.write_text("command sbatch --export=PATH\n")
+    logpat = str(tmp_path / "w.JOB.log")
+    out = subprocess.run(
+        [sys.executable, RUN_JOBS, "--backend", "local",
+         "--config", str(conf), "JOB=1:1", logpat, "true"],
+        capture_output=True, text=True)
+    assert out.returncode == 0
+    assert "no effect" in out.stderr
+
+
 def test_shipped_slurm_conf_parses():
     """The recipes' conf/slurm.conf must parse and map the unified options."""
     rj = _load()
