@@ -1,19 +1,32 @@
-"""Pretrained model registry (reference utils/utils.py:22-59, 375-407).
+"""Pretrained model registry + downloader (reference utils/utils.py:22-59, 375-407).
 
 The reference downloads 36 ParallelWaveGAN-era checkpoints from Google Drive
-via gdown. This environment has no network egress and no gdown; the registry
-tags are preserved so user code depending on the API keeps working, and
-``download_pretrained_model`` resolves from a local cache directory
-(``~/.cache/articulatory_tpu`` or $ARTICULATORY_PRETRAIN_DIR) or raises a
-clear error telling the user to place the files there.
+via gdown (``uc?id=<drive id>`` -> ``<tag>.tar.gz`` under a file lock,
+flattened tar extraction, first ``checkpoint*.pkl`` returned). This module
+implements the same contract without gdown: a stdlib urllib downloader with
+Google Drive's virus-scan interstitial (confirm-token) handling, an fcntl
+download lock, and flattened-basename tar extraction.
 
-Reference torch checkpoints placed in the cache are ingested through
+Resolution order in ``download_pretrained_model``:
+
+1. the local cache (``$ARTICULATORY_PRETRAIN_DIR`` or
+   ``~/.cache/articulatory_tpu``) — already-downloaded or hand-placed
+   archives win without touching the network;
+2. a network fetch from ``$ARTICULATORY_PRETRAIN_URL`` (default the Google
+   Drive ``uc`` endpoint). The build/test environment has no egress, so
+   tests exercise the full fetch path against a local mock HTTP server and
+   real use requires a networked machine (or pre-seeding the cache).
+
+Reference torch checkpoints in the cache are ingested through
 ``articulatory_tpu.utils.torch_import`` at load time.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
+import re
+import tarfile
 
 # tag -> google drive id (for provenance; not downloadable here)
 PRETRAINED_MODEL_LIST = {
@@ -55,11 +68,108 @@ PRETRAINED_MODEL_LIST = {
 }
 
 
-def download_pretrained_model(tag: str, download_dir: str | None = None) -> str:
-    """Resolve a pretrained checkpoint from the local cache.
+#: Base endpoint queried with ``?id=<drive id>``. Override (e.g. to an
+#: institutional mirror, or a mock server in tests) via the environment.
+DEFAULT_BASE_URL = "https://drive.google.com/uc"
 
-    Returns the checkpoint path. Raises with instructions if absent (no
-    network egress in this environment).
+# Google Drive's "can't scan for viruses" interstitial embeds the bypass
+# token either as a confirm= link or as a hidden <input> in a download form.
+_CONFIRM_RE = re.compile(rb"confirm=([0-9A-Za-z_\-]+)")
+_FORM_INPUT_RE = re.compile(
+    rb'name="([^"]+)"\s+value="([^"]*)"')
+_FORM_ACTION_RE = re.compile(rb'action="([^"]+)"')
+
+
+@contextlib.contextmanager
+def _download_lock(path: str):
+    """Exclusive advisory lock (reference wraps the fetch in a FileLock)."""
+    import fcntl
+
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _fetch_drive_file(url: str, output_path: str, chunk_size: int = 1 << 20):
+    """Download ``url`` to ``output_path``, following the Drive interstitial.
+
+    A first response with an HTML content type is parsed for the
+    confirm-token link (or download form) and re-requested once — the same
+    dance gdown performs; binary responses stream straight to disk.
+    """
+    import urllib.parse
+    import urllib.request
+
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor())
+    for _ in range(2):
+        with opener.open(url) as resp:
+            ctype = resp.headers.get("Content-Type", "")
+            if "text/html" not in ctype:
+                with open(output_path + ".part", "wb") as f:
+                    while True:
+                        chunk = resp.read(chunk_size)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                os.replace(output_path + ".part", output_path)
+                return
+            body = resp.read()
+        m = _CONFIRM_RE.search(body)
+        if m:
+            sep = "&" if "?" in url else "?"
+            url = f"{url}{sep}confirm={m.group(1).decode()}"
+            continue
+        action = _FORM_ACTION_RE.search(body)
+        if action:
+            fields = dict(_FORM_INPUT_RE.findall(body))
+            query = urllib.parse.urlencode(
+                {k.decode(): v.decode() for k, v in fields.items()})
+            url = action.group(1).decode() + "?" + query
+            continue
+        raise RuntimeError(
+            f"Unrecognized interstitial page while downloading {url!r} "
+            "(no confirm token or download form found).")
+    raise RuntimeError(f"Interstitial loop did not converge for {url!r}.")
+
+
+def _extract_flat(archive_path: str, dest_dir: str):
+    """Extract regular members flattened to their basenames (the reference's
+    extraction shape: every checkpoint lands directly in the tag dir)."""
+    os.makedirs(dest_dir, exist_ok=True)
+    with tarfile.open(archive_path, "r:*") as tar:
+        for member in tar.getmembers():
+            if not member.isreg():
+                continue
+            name = os.path.basename(member.name)
+            if not name or name.startswith(("/", "..")):
+                continue
+            src = tar.extractfile(member)
+            with open(os.path.join(dest_dir, name), "wb") as out:
+                while True:
+                    chunk = src.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+
+
+def _resolve_cached(tag_dir: str) -> str | None:
+    from articulatory_tpu.utils.io import find_files
+
+    ckpts = find_files(tag_dir, "checkpoint*.pkl") + \
+        find_files(tag_dir, "*.ckpt")
+    return ckpts[0] if ckpts else None
+
+
+def download_pretrained_model(tag: str, download_dir: str | None = None) -> str:
+    """Resolve (cache-first) or download a pretrained checkpoint.
+
+    Returns the checkpoint path. When the cache misses and the fetch fails
+    (e.g. no egress), raises with seeding instructions.
     """
     assert tag in PRETRAINED_MODEL_LIST, f"{tag} does not exist."
     if download_dir is None:
@@ -68,14 +178,33 @@ def download_pretrained_model(tag: str, download_dir: str | None = None) -> str:
             os.path.expanduser("~/.cache/articulatory_tpu"))
     tag_dir = os.path.join(download_dir, tag)
     if os.path.isdir(tag_dir):
-        from articulatory_tpu.utils.io import find_files
+        found = _resolve_cached(tag_dir)
+        if found:
+            return found
 
-        ckpts = find_files(tag_dir, "checkpoint*.pkl") + \
-            find_files(tag_dir, "*.ckpt")
-        if ckpts:
-            return ckpts[0]
+    drive_id = PRETRAINED_MODEL_LIST[tag]
+    base_url = os.environ.get("ARTICULATORY_PRETRAIN_URL", DEFAULT_BASE_URL)
+    url = f"{base_url}?id={drive_id}"
+    output_path = os.path.join(download_dir, f"{tag}.tar.gz")
+    os.makedirs(download_dir, exist_ok=True)
+    try:
+        with _download_lock(output_path + ".lock"):
+            if not os.path.exists(output_path):
+                _fetch_drive_file(url, output_path)
+            # re-check: a concurrent holder may have extracted already
+            found = _resolve_cached(tag_dir)
+            if found:
+                return found
+            _extract_flat(output_path, tag_dir)
+    except (OSError, RuntimeError) as exc:
+        raise FileNotFoundError(
+            f"Pretrained model '{tag}' not in the cache at {tag_dir} and the "
+            f"download from {url} failed ({exc}). On a machine without "
+            f"network access, fetch the archive (Google Drive id {drive_id}) "
+            f"elsewhere and extract it to that directory.") from exc
+    found = _resolve_cached(tag_dir)
+    if found:
+        return found
     raise FileNotFoundError(
-        f"Pretrained model '{tag}' not found under {tag_dir}. This "
-        f"environment has no network access; download the archive (Google "
-        f"Drive id {PRETRAINED_MODEL_LIST[tag]}) elsewhere and extract it "
-        f"to that directory.")
+        f"Downloaded archive for '{tag}' contained no checkpoint*.pkl/"
+        f"*.ckpt (extracted to {tag_dir}).")
