@@ -20,6 +20,17 @@ from articulatory_tpu.ops.audio import resample
 from articulatory_tpu.utils.io import find_files, load_scp, read_hdf5
 
 
+def _apply_art_transform(transform, art: np.ndarray) -> np.ndarray:
+    """Apply a transform given as either a callable or the reference's raw
+    ``"10*f0"`` YAML string (audio_mel_dataset.py:644-645 string-compare)."""
+    if callable(transform):
+        return transform(art)
+    if transform == "10*f0":
+        art = art.copy()
+        art[:, 0] *= 10
+    return art
+
+
 def _interp_linear_np(x: np.ndarray, size: int) -> np.ndarray:
     """torch F.interpolate(mode='linear', align_corners=False) on (T, C)."""
     t_in = len(x)
@@ -88,9 +99,7 @@ class WavArtMultDataset:
         audio = resample(audio, self.sampling_rates[modality_i],
                          self.sampling_rate)
         art = np.load(self.art_files[idx])
-        if self.transform == "10*f0":
-            art = art.copy()
-            art[:, 0] *= 10
+        art = _apply_art_transform(self.transform, art)
         items = ((utt_id, audio, art, modality_i) if self.return_utt_id
                  else (audio, art, modality_i))
         if self.allow_cache:
@@ -126,9 +135,7 @@ class ArtSCPMultDataset:
         if self.allow_cache and idx in self.caches:
             return self.caches[idx]
         art = np.load(self.input_paths[idx])
-        if self.transform == "10*f0":
-            art = art.copy()
-            art[:, 0] *= 10
+        art = _apply_art_transform(self.transform, art)
         items = ((self.utt_ids[idx], art, self.modalities[idx])
                  if self.return_utt_id else (art, self.modalities[idx]))
         if self.allow_cache:

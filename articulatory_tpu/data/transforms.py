@@ -54,9 +54,24 @@ def resample_16_22(x: np.ndarray) -> np.ndarray:
     return np.clip(x, -1, 1)
 
 
+def scale_10_f0(art: np.ndarray) -> np.ndarray:
+    """Scale channel 0 (log-f0) by 10.
+
+    The reference passes the raw ``transform: "10*f0"`` YAML string to its
+    art datasets and string-compares it (reference
+    articulatory/datasets/audio_mel_dataset.py:280-281, 644-645, 961-962);
+    here it resolves to a callable like every other transform.
+    """
+    art = np.asarray(art).copy()
+    art[:, 0] *= 10
+    return art
+
+
 _TRANSFORMS = {
     "preprocess_emg": preprocess_emg,
     "resample_16_22": resample_16_22,
+    # the reference's string-hook spelled as a named transform
+    "10*f0": scale_10_f0,
 }
 
 

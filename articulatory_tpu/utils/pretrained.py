@@ -1,6 +1,6 @@
 """Pretrained model registry + downloader (reference utils/utils.py:22-59, 375-407).
 
-The reference downloads 36 ParallelWaveGAN-era checkpoints from Google Drive
+The reference downloads 35 ParallelWaveGAN-era checkpoints from Google Drive
 via gdown (``uc?id=<drive id>`` -> ``<tag>.tar.gz`` under a file lock,
 flattened tar extraction, first ``checkpoint*.pkl`` returned). This module
 implements the same contract without gdown: a stdlib urllib downloader with
@@ -19,6 +19,12 @@ Resolution order in ``download_pretrained_model``:
 
 Reference torch checkpoints in the cache are ingested through
 ``articulatory_tpu.utils.torch_import`` at load time.
+
+Security note: downloaded archives contain torch pickles that are later
+unpickled by ``torch_import`` (``weights_only=False`` — arbitrary code
+execution on load, matching the reference's gdown+torch.load trust model).
+Only point ``ARTICULATORY_PRETRAIN_URL`` at mirrors you trust, prefer https,
+and consider verifying archive checksums out of band before first load.
 """
 
 from __future__ import annotations
@@ -97,16 +103,20 @@ def _download_lock(path: str):
 def _fetch_drive_file(url: str, output_path: str, chunk_size: int = 1 << 20):
     """Download ``url`` to ``output_path``, following the Drive interstitial.
 
-    A first response with an HTML content type is parsed for the
-    confirm-token link (or download form) and re-requested once — the same
-    dance gdown performs; binary responses stream straight to disk.
+    A response with an HTML content type is parsed for the confirm-token
+    link (or download form) and re-requested — the same dance gdown
+    performs; binary responses stream straight to disk. Current Drive flows
+    chain several interstitials (confirm link, then a usercontent form), so
+    up to 5 hops are followed; extracted URLs are HTML-unescaped and
+    relative form actions resolved against the page URL.
     """
+    import html
     import urllib.parse
     import urllib.request
 
     opener = urllib.request.build_opener(
         urllib.request.HTTPCookieProcessor())
-    for _ in range(2):
+    for _ in range(5):
         with opener.open(url) as resp:
             ctype = resp.headers.get("Content-Type", "")
             if "text/html" not in ctype:
@@ -119,6 +129,7 @@ def _fetch_drive_file(url: str, output_path: str, chunk_size: int = 1 << 20):
                 os.replace(output_path + ".part", output_path)
                 return
             body = resp.read()
+            page_url = resp.geturl()
         m = _CONFIRM_RE.search(body)
         if m:
             sep = "&" if "?" in url else "?"
@@ -128,8 +139,12 @@ def _fetch_drive_file(url: str, output_path: str, chunk_size: int = 1 << 20):
         if action:
             fields = dict(_FORM_INPUT_RE.findall(body))
             query = urllib.parse.urlencode(
-                {k.decode(): v.decode() for k, v in fields.items()})
-            url = action.group(1).decode() + "?" + query
+                {html.unescape(k.decode()): html.unescape(v.decode())
+                 for k, v in fields.items()})
+            action_url = urllib.parse.urljoin(
+                page_url, html.unescape(action.group(1).decode()))
+            sep = "&" if "?" in action_url else "?"
+            url = action_url + sep + query
             continue
         raise RuntimeError(
             f"Unrecognized interstitial page while downloading {url!r} "
@@ -195,8 +210,15 @@ def download_pretrained_model(tag: str, download_dir: str | None = None) -> str:
             found = _resolve_cached(tag_dir)
             if found:
                 return found
-            _extract_flat(output_path, tag_dir)
-    except (OSError, RuntimeError) as exc:
+            try:
+                _extract_flat(output_path, tag_dir)
+            except (tarfile.TarError, OSError, EOFError):
+                # corrupt/truncated archive: drop it so the next call
+                # re-downloads instead of wedging on the bad cache entry
+                with contextlib.suppress(OSError):
+                    os.remove(output_path)
+                raise
+    except (OSError, RuntimeError, tarfile.TarError, EOFError) as exc:
         raise FileNotFoundError(
             f"Pretrained model '{tag}' not in the cache at {tag_dir} and the "
             f"download from {url} failed ({exc}). On a machine without "

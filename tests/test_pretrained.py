@@ -157,3 +157,81 @@ def test_download_archive_without_checkpoint(tmp_path, monkeypatch,
     with pytest.raises(FileNotFoundError, match="contained no checkpoint"):
         download_pretrained_model("kss_parallel_wavegan.v1",
                                   download_dir=str(tmp_path))
+
+
+def test_corrupt_cached_archive_self_heals(tmp_path, monkeypatch,
+                                           drive_server):
+    """A truncated/garbage tar.gz in the cache must raise the friendly
+    FileNotFoundError AND be deleted so the next call re-downloads
+    (round-2 advisor finding: a bad archive used to wedge the tag)."""
+    srv, handler = drive_server
+    handler.archive = _make_archive()
+    handler.interstitial = False
+    monkeypatch.setenv("ARTICULATORY_PRETRAIN_URL",
+                       f"http://127.0.0.1:{srv.server_address[1]}/uc")
+    tag = "csmsc_hifigan.v1"
+    bad = tmp_path / f"{tag}.tar.gz"
+    bad.write_bytes(b"this is not a tarball")
+    with pytest.raises(FileNotFoundError, match="download from .* failed"):
+        download_pretrained_model(tag, download_dir=str(tmp_path))
+    assert not bad.exists()  # self-healed
+    # next call re-fetches from the server and succeeds
+    path = download_pretrained_model(tag, download_dir=str(tmp_path))
+    assert path.endswith("checkpoint-400000steps.pkl")
+    assert len(handler.hits) == 1
+
+
+class _FormHandler(BaseHTTPRequestHandler):
+    """Mimics the current Drive flow: /uc serves an HTML download form with
+    entity-escaped values and a relative action; the form target serves the
+    tarball only when every hidden field round-trips."""
+
+    archive = b""
+    hits = None
+
+    def do_GET(self):
+        self.hits.append(self.path)
+        if self.path.startswith("/uc"):
+            body = (b'<html><form action="/download&#63;source=uc" method="get">'
+                    b'<input type="hidden" name="id" value="abc123">'
+                    b'<input type="hidden" name="confirm" value="t&amp;ok">'
+                    b'<input type="hidden" name="uuid" value="u-1">'
+                    b'</form></html>')
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        import urllib.parse
+
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+        assert q["confirm"] == ["t&ok"] and q["uuid"] == ["u-1"]
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-gzip")
+        self.send_header("Content-Length", str(len(self.archive)))
+        self.end_headers()
+        self.wfile.write(self.archive)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_download_form_interstitial(tmp_path, monkeypatch):
+    handler = type("H", (_FormHandler,), {"hits": []})
+    handler.archive = _make_archive()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        monkeypatch.setenv("ARTICULATORY_PRETRAIN_URL",
+                           f"http://127.0.0.1:{srv.server_address[1]}/uc")
+        tag = "jsut_hifigan.v1"
+        path = download_pretrained_model(tag, download_dir=str(tmp_path))
+        assert path.endswith("checkpoint-400000steps.pkl")
+        # interstitial form + the resolved (unescaped, urljoined) fetch
+        assert len(handler.hits) == 2
+        assert handler.hits[1].startswith("/download?source=uc")
+    finally:
+        srv.shutdown()
+        t.join()
