@@ -49,6 +49,11 @@ def main():
                         help="batch N utterances through the AR loop "
                              "(throughput mode for a2w; 1 = reference-exact "
                              "sequential decode)")
+    parser.add_argument("--sequence-parallel", default=0, type=int,
+                        help="shard the TIME axis of full-utterance (non-AR) "
+                             "inference over N devices (parallel/sp.py); "
+                             "bounds per-device activation memory on very "
+                             "long utterances. Ignored for AR models.")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
     set_logging(args.verbose)
@@ -133,6 +138,17 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
     use_ar = config["generator_params"].get("use_ar", False)
+
+    if args.sequence_parallel > 1:
+        if use_ar:
+            logging.warning(
+                "--sequence-parallel ignored: AR chunked decode is serial "
+                "with tiny per-chunk shapes; SP targets full-utterance "
+                "(non-AR) inference.")
+        else:
+            model.enable_sequence_parallel(args.sequence_parallel)
+            logging.info(f"Sequence-parallel inference over "
+                         f"{args.sequence_parallel} devices.")
     sr = config["sampling_rate"]
     hop = config["hop_size"]
 

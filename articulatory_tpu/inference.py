@@ -44,10 +44,31 @@ class LoadedModel:
     mean: np.ndarray | None = None
     scale: np.ndarray | None = None
     pqmf: PQMF | None = None
+    sp_mesh: Any = None  # set via enable_sequence_parallel
 
     @property
     def variables(self):
         return {"params": self.params, **self.mutables}
+
+    def enable_sequence_parallel(self, n: int, devices=None) -> None:
+        """Shard the TIME axis of full-utterance forwards over ``n`` devices.
+
+        The generator is fully convolutional, so GSPMD inserts halo
+        exchanges between neighboring time shards (parallel/sp.py); each
+        device holds 1/n of the activations — the memory-bounded path for
+        very long non-AR utterances. AR chunked decode is serial and tiny
+        per chunk; SP does not apply to it (the forward falls back to the
+        unsharded path whenever ``ar`` is fed).
+        """
+        from jax.sharding import Mesh
+
+        devices = list(devices if devices is not None else jax.devices())
+        if len(devices) < n:
+            raise ValueError(
+                f"sequence parallelism needs {n} devices, have {len(devices)}")
+        self.sp_mesh = Mesh(np.asarray(devices[:n]).reshape(1, n),
+                            ("data", "model"))
+        self.__dict__.pop("_jit_forward_sp", None)  # re-jit on a new mesh
 
     def normalize(self, c: jax.Array) -> jax.Array:
         if self.mean is None:
@@ -56,7 +77,6 @@ class LoadedModel:
 
     @functools.cached_property
     def _jit_forward(self):
-        @jax.jit
         def fwd(params, c, ar):
             kwargs = {} if ar is None else {"ar": ar}
             out = self.model.apply({"params": params, **self.mutables}, c, **kwargs)
@@ -64,9 +84,27 @@ class LoadedModel:
                 out = out[0]
             return out
 
-        return fwd
+        return jax.jit(fwd)
+
+    @functools.cached_property
+    def _jit_forward_sp(self):
+        from articulatory_tpu.parallel.sp import time_sharding
+
+        def fwd(params, c):
+            out = self.model.apply({"params": params, **self.mutables}, c)
+            if isinstance(out, tuple):
+                out = out[0]
+            return out
+
+        # keep the whole network time-sharded instead of gathering at the end
+        return jax.jit(fwd, out_shardings=time_sharding(self.sp_mesh, 3))
 
     def __call__(self, c: jax.Array, ar: jax.Array | None = None) -> jax.Array:
+        if self.sp_mesh is not None and ar is None:
+            from articulatory_tpu.parallel.sp import shard_time
+
+            return self._jit_forward_sp(self.params,
+                                        shard_time(jnp.asarray(c), self.sp_mesh))
         return self._jit_forward(self.params, c, ar)
 
     def remove_weight_norm(self) -> None:
@@ -75,7 +113,8 @@ class LoadedModel:
         from articulatory_tpu.utils.weight_norm import fold_weight_norm
 
         self.params = fold_weight_norm(jax.device_get(self.params))
-        self.__dict__.pop("_jit_forward", None)  # drop cached jit closure
+        self.__dict__.pop("_jit_forward", None)  # drop cached jit closures
+        self.__dict__.pop("_jit_forward_sp", None)
 
     def inference(self, c: np.ndarray, normalize_before: bool = False,
                   bucket_frames: int | None = None) -> np.ndarray:

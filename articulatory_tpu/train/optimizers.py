@@ -9,12 +9,122 @@ decoupled (applied after).
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+def _scale_by_torch_rmsprop(alpha: float = 0.99, eps: float = 1e-8,
+                            centered: bool = False
+                            ) -> optax.GradientTransformation:
+    """torch.optim.RMSprop scaling: ``sq = a*sq + (1-a)*g^2``,
+    ``denom = sqrt(sq [- avg^2]) + eps`` (eps OUTSIDE the sqrt — optax's
+    ``scale_by_rms`` default puts it inside)."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return {"sq": zeros,
+                "avg": jax.tree.map(jnp.zeros_like, params) if centered
+                else None}
+
+    def update_fn(updates, state, params=None):
+        del params
+        sq = jax.tree.map(lambda g, s: alpha * s + (1 - alpha) * g * g,
+                          updates, state["sq"])
+        if centered:
+            avg = jax.tree.map(lambda g, a: alpha * a + (1 - alpha) * g,
+                               updates, state["avg"])
+            denom = jax.tree.map(
+                lambda s, a: jnp.sqrt(s - a * a) + eps, sq, avg)
+        else:
+            avg = None
+            denom = jax.tree.map(lambda s: jnp.sqrt(s) + eps, sq)
+        updates = jax.tree.map(lambda g, d: g / d, updates, denom)
+        return updates, {"sq": sq, "avg": avg}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _scale_by_torch_adagrad(eps: float = 1e-10, lr_decay: float = 0.0,
+                            initial_accumulator_value: float = 0.0
+                            ) -> optax.GradientTransformation:
+    """torch.optim.Adagrad scaling: ``sum += g^2``,
+    ``update = g / (sqrt(sum) + eps) / (1 + (t-1)*lr_decay)``."""
+
+    def init_fn(params):
+        return {"sum": jax.tree.map(
+            lambda p: jnp.full_like(p, initial_accumulator_value), params),
+            "count": jnp.zeros([], jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state["count"] + 1
+        acc = jax.tree.map(lambda g, s: s + g * g, updates, state["sum"])
+        clr = 1.0 / (1.0 + (count - 1).astype(jnp.float32) * lr_decay)
+        updates = jax.tree.map(
+            lambda g, s: clr * g / (jnp.sqrt(s) + eps), updates, acc)
+        return updates, {"sum": acc, "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _scale_by_torch_adadelta(rho: float = 0.9, eps: float = 1e-6
+                             ) -> optax.GradientTransformation:
+    """torch.optim.Adadelta scaling: ``sq = rho*sq + (1-rho)*g^2``,
+    ``d = g*sqrt(acc+eps)/sqrt(sq+eps)``, ``acc = rho*acc + (1-rho)*d^2``."""
+
+    def init_fn(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return {"sq": z, "acc": jax.tree.map(jnp.zeros_like, params)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        sq = jax.tree.map(lambda g, s: rho * s + (1 - rho) * g * g,
+                          updates, state["sq"])
+        delta = jax.tree.map(
+            lambda g, s, a: g * jnp.sqrt(a + eps) / jnp.sqrt(s + eps),
+            updates, sq, state["acc"])
+        acc = jax.tree.map(lambda d, a: rho * a + (1 - rho) * d * d,
+                           delta, state["acc"])
+        return delta, {"sq": sq, "acc": acc}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _scale_by_torch_adamax(b1: float = 0.9, b2: float = 0.999,
+                           eps: float = 1e-8
+                           ) -> optax.GradientTransformation:
+    """torch.optim.Adamax scaling: ``m = b1*m + (1-b1)*g``,
+    ``u = max(b2*u, |g| + eps)``, ``update = m / ((1 - b1^t) * u)``."""
+
+    def init_fn(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return {"m": z, "u": jax.tree.map(jnp.zeros_like, params),
+                "count": jnp.zeros([], jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state["count"] + 1
+        m = jax.tree.map(lambda g, m_: b1 * m_ + (1 - b1) * g,
+                         updates, state["m"])
+        u = jax.tree.map(lambda g, u_: jnp.maximum(b2 * u_, jnp.abs(g) + eps),
+                         updates, state["u"])
+        bc = 1.0 - b1 ** count.astype(jnp.float32)
+        updates = jax.tree.map(lambda m_, u_: m_ / (bc * u_), m, u)
+        return updates, {"m": m, "u": u, "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def build_optimizer(name: str, params: dict | None = None,
                     grad_norm: float = -1) -> optax.GradientTransformation:
-    """Build the lr-free part of the update: [clip] -> optimizer scaling."""
+    """Build the lr-free part of the update: [clip] -> optimizer scaling.
+
+    Accepts the torch.optim names the reference resolves from YAML
+    (reference bin/train.py:1750-1759): Adam, RAdam, AdamW, SGD, RMSprop,
+    Adagrad, Adadelta, Adamax. Remaining torch names (NAdam, ASGD, LBFGS,
+    Rprop, SparseAdam) are documented as unsupported in docs/MIGRATION.md.
+    """
     params = dict(params or {})
     params.pop("lr", None)  # lr is injected per-step by the trainer
     chain = []
@@ -43,6 +153,37 @@ def build_optimizer(name: str, params: dict | None = None,
         if momentum:
             chain.append(optax.trace(decay=momentum,
                                      nesterov=params.get("nesterov", False)))
+    elif name == "RMSprop":
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(_scale_by_torch_rmsprop(
+            alpha=params.get("alpha", 0.99), eps=params.get("eps", 1e-8),
+            centered=params.get("centered", False)))
+        momentum = params.get("momentum", 0.0)
+        if momentum:
+            chain.append(optax.trace(decay=momentum))
+    elif name == "Adagrad":
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(_scale_by_torch_adagrad(
+            eps=params.get("eps", 1e-10),
+            lr_decay=params.get("lr_decay", 0.0),
+            initial_accumulator_value=params.get(
+                "initial_accumulator_value", 0.0)))
+    elif name == "Adadelta":
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(_scale_by_torch_adadelta(
+            rho=params.get("rho", 0.9), eps=params.get("eps", 1e-6)))
+    elif name == "Adamax":
+        b1, b2 = params.get("betas", (0.9, 0.999))
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(_scale_by_torch_adamax(
+            b1=b1, b2=b2, eps=params.get("eps", 1e-8)))
     else:
-        raise ValueError(f"Unsupported optimizer: {name}")
+        raise ValueError(
+            f"Unsupported optimizer: {name}. Supported torch names: Adam, "
+            "RAdam, AdamW, SGD, RMSprop, Adagrad, Adadelta, Adamax "
+            "(see docs/MIGRATION.md).")
     return optax.chain(*chain) if chain else optax.identity()

@@ -9,6 +9,7 @@ jitted update, so metric-driven schedules need no retracing.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 
@@ -35,8 +36,116 @@ class _Scheduler:
 
 
 class ConstantLR(_Scheduler):
+    """torch semantics: lr * factor until ``total_iters``, then lr.
+
+    Internal callers construct it with no params as a true constant; note
+    torch's own defaults are factor=1/3, total_iters=5, so YAML configs
+    relying on torch defaults must spell them out.
+    """
+
+    def __init__(self, base_lr: float, factor: float = 1.0,
+                 total_iters: int = 0):
+        super().__init__(base_lr)
+        self.factor = factor
+        self.total_iters = total_iters
+        self.lr = base_lr * factor if total_iters > 0 else base_lr
+
     def _update(self, metric):
-        pass
+        self.lr = (self.base_lr * self.factor
+                   if self.step_count < self.total_iters else self.base_lr)
+
+
+class LinearLR(_Scheduler):
+    """torch semantics: linear ramp from ``start_factor`` to ``end_factor``
+    over ``total_iters`` steps."""
+
+    def __init__(self, base_lr: float, start_factor: float = 1.0 / 3,
+                 end_factor: float = 1.0, total_iters: int = 5):
+        super().__init__(base_lr)
+        self.start_factor = start_factor
+        self.end_factor = end_factor
+        self.total_iters = total_iters
+        self.lr = base_lr * start_factor
+
+    def _update(self, metric):
+        t = min(self.step_count, self.total_iters)
+        f = self.start_factor + (self.end_factor - self.start_factor) * (
+            t / self.total_iters)
+        self.lr = self.base_lr * f
+
+
+class CosineAnnealingLR(_Scheduler):
+    """torch closed form: ``eta_min + (base-eta_min)*(1+cos(pi*t/T_max))/2``."""
+
+    def __init__(self, base_lr: float, T_max: int, eta_min: float = 0.0):
+        super().__init__(base_lr)
+        self.T_max = T_max
+        self.eta_min = eta_min
+
+    def _update(self, metric):
+        self.lr = self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * self.step_count / self.T_max)) / 2
+
+
+class CosineAnnealingWarmRestarts(_Scheduler):
+    """torch semantics: cosine within a restart period of ``T_0`` steps,
+    each period ``T_mult`` times longer than the last."""
+
+    def __init__(self, base_lr: float, T_0: int, T_mult: int = 1,
+                 eta_min: float = 0.0):
+        super().__init__(base_lr)
+        assert T_0 > 0 and T_mult >= 1
+        self.T_0 = T_0
+        self.T_mult = T_mult
+        self.eta_min = eta_min
+        self.T_cur = 0
+        self.T_i = T_0
+
+    def _update(self, metric):
+        self.T_cur += 1
+        if self.T_cur >= self.T_i:
+            self.T_cur -= self.T_i
+            self.T_i *= self.T_mult
+        self.lr = self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * self.T_cur / self.T_i)) / 2
+
+
+class CyclicLR(_Scheduler):
+    """torch semantics: triangular cycles between ``base_lr`` and ``max_lr``.
+
+    Like torch, the scheduler's own ``base_lr`` param overrides the
+    optimizer lr; modes: triangular, triangular2, exp_range.
+    """
+
+    def __init__(self, optimizer_lr: float, base_lr: float, max_lr: float,
+                 step_size_up: int = 2000, step_size_down: int | None = None,
+                 mode: str = "triangular", gamma: float = 1.0):
+        super().__init__(base_lr)
+        assert mode in ("triangular", "triangular2", "exp_range")
+        self.max_lr = max_lr
+        self.step_size_up = step_size_up
+        self.step_size_down = (step_size_down if step_size_down is not None
+                               else step_size_up)
+        self.mode = mode
+        self.gamma = gamma
+        self.lr = base_lr
+
+    def _update(self, metric):
+        t = self.step_count
+        total = self.step_size_up + self.step_size_down
+        cycle = t // total
+        pos = t - cycle * total
+        if pos <= self.step_size_up:
+            x = pos / self.step_size_up
+        else:
+            x = 1.0 - (pos - self.step_size_up) / self.step_size_down
+        if self.mode == "triangular2":
+            scale = 1.0 / (2.0 ** cycle)
+        elif self.mode == "exp_range":
+            scale = self.gamma ** t
+        else:
+            scale = 1.0
+        self.lr = self.base_lr + (self.max_lr - self.base_lr) * x * scale
 
 
 class MultiStepLR(_Scheduler):
@@ -136,9 +245,13 @@ def build_scheduler(name: str, base_lr: float, params: dict | None = None):
         "LambdaLR": LambdaLR,
         "ReduceLROnPlateau": ReduceLROnPlateau,
         "ConstantLR": ConstantLR,
+        "LinearLR": LinearLR,
+        "CosineAnnealingLR": CosineAnnealingLR,
+        "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
+        "CyclicLR": CyclicLR,
     }
     if name not in registry:
-        raise ValueError(f"Unsupported scheduler: {name}")
-    if name == "ConstantLR":
-        return ConstantLR(base_lr)
+        raise ValueError(
+            f"Unsupported scheduler: {name}. Supported torch names: "
+            f"{sorted(registry)} (see docs/MIGRATION.md).")
     return registry[name](base_lr, **params)

@@ -1,0 +1,148 @@
+"""Optimizer/scheduler torch-parity for the widened YAML name surface.
+
+The reference resolves ANY ``torch.optim.*`` / ``torch.optim.lr_scheduler.*``
+name from YAML (reference bin/train.py:1750-1779). These tests step each
+newly supported name against the live torch implementation for 10-60 steps.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _run_ours(name, opt_params, w0, grads_seq, lr):
+    import jax.numpy as jnp
+
+    from articulatory_tpu.train.optimizers import build_optimizer
+
+    tx = build_optimizer(name, dict(opt_params))
+    w = jnp.asarray(w0)
+    st = tx.init(w)
+    for g in grads_seq:
+        # the trainer convention: grads -> tx.update -> params - lr*updates.
+        # torch L2 weight decay sees the *current* params via the update arg.
+        u, st = tx.update(jnp.asarray(g), st, w)
+        w = w - lr * u
+    return np.asarray(w)
+
+
+def _run_torch(name, opt_params, w0, grads_seq, lr):
+    w = torch.tensor(np.asarray(w0), requires_grad=True)
+    opt = getattr(torch.optim, name)([w], lr=lr, **opt_params)
+    for g in grads_seq:
+        opt.zero_grad()
+        w.grad = torch.tensor(np.asarray(g))
+        opt.step()
+    return w.detach().numpy()
+
+
+@pytest.mark.parametrize("name,params", [
+    ("RMSprop", {}),
+    ("RMSprop", {"alpha": 0.95, "eps": 1e-7}),
+    ("RMSprop", {"momentum": 0.9}),
+    ("RMSprop", {"centered": True}),
+    ("RMSprop", {"weight_decay": 0.01, "momentum": 0.5, "centered": True}),
+    ("Adagrad", {}),
+    ("Adagrad", {"lr_decay": 0.01, "eps": 1e-8}),
+    ("Adagrad", {"weight_decay": 0.01,
+                 "initial_accumulator_value": 0.1}),
+    ("Adadelta", {}),
+    ("Adadelta", {"rho": 0.8, "eps": 1e-5, "weight_decay": 0.01}),
+    ("Adamax", {}),
+    ("Adamax", {"betas": [0.8, 0.99], "eps": 1e-7, "weight_decay": 0.01}),
+])
+def test_optimizer_parity(name, params, rng):
+    w0 = rng.standard_normal(16).astype(np.float32)
+    grads = [rng.standard_normal(16).astype(np.float32) * (0.5 + i * 0.1)
+             for i in range(10)]
+    lr = 0.05
+    ours = _run_ours(name, params, w0, grads, lr)
+    theirs = _run_torch(name, params, w0, grads, lr)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=2e-6)
+
+
+def test_unknown_optimizer_is_loud():
+    from articulatory_tpu.train.optimizers import build_optimizer
+
+    with pytest.raises(ValueError, match="MIGRATION"):
+        build_optimizer("LBFGS", {})
+
+
+def _torch_lr_trajectory(sched_name, sched_params, base_lr, n_steps,
+                         plateau_metrics=None):
+    w = torch.zeros(1, requires_grad=True)
+    opt = torch.optim.SGD([w], lr=base_lr)
+    sched = getattr(torch.optim.lr_scheduler, sched_name)(
+        opt, **sched_params)
+    lrs = [opt.param_groups[0]["lr"]]
+    for i in range(n_steps):
+        opt.step()
+        if plateau_metrics is not None:
+            sched.step(plateau_metrics[i])
+        else:
+            sched.step()
+        lrs.append(opt.param_groups[0]["lr"])
+    return lrs
+
+
+def _our_lr_trajectory(sched_name, sched_params, base_lr, n_steps,
+                       plateau_metrics=None):
+    from articulatory_tpu.train.schedulers import build_scheduler
+
+    sched = build_scheduler(sched_name, base_lr, dict(sched_params))
+    lrs = [sched.lr]
+    for i in range(n_steps):
+        sched.step(plateau_metrics[i] if plateau_metrics is not None else None)
+        lrs.append(sched.lr)
+    return lrs
+
+
+@pytest.mark.parametrize("name,params,steps", [
+    ("CosineAnnealingLR", {"T_max": 20}, 40),
+    ("CosineAnnealingLR", {"T_max": 15, "eta_min": 1e-5}, 15),
+    ("CosineAnnealingWarmRestarts", {"T_0": 8}, 30),
+    ("CosineAnnealingWarmRestarts", {"T_0": 5, "T_mult": 2,
+                                     "eta_min": 1e-5}, 40),
+    ("CyclicLR", {"base_lr": 1e-4, "max_lr": 1e-2, "step_size_up": 6}, 30),
+    ("CyclicLR", {"base_lr": 1e-4, "max_lr": 1e-2, "step_size_up": 4,
+                  "step_size_down": 8, "mode": "triangular2"}, 40),
+    ("CyclicLR", {"base_lr": 1e-4, "max_lr": 1e-2, "step_size_up": 5,
+                  "mode": "exp_range", "gamma": 0.95}, 30),
+    ("LinearLR", {}, 10),
+    ("LinearLR", {"start_factor": 0.1, "end_factor": 1.0,
+                  "total_iters": 12}, 20),
+    ("ConstantLR", {"factor": 0.5, "total_iters": 4}, 10),
+])
+def test_scheduler_parity(name, params, steps):
+    base_lr = 1e-3
+    ours = _our_lr_trajectory(name, params, base_lr, steps)
+    theirs = _torch_lr_trajectory(name, params, base_lr, steps)
+    # CosineAnnealingLR uses the closed form; torch's recursive chaining can
+    # deviate past T_max, so compare with a small tolerance
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-12)
+
+
+def test_unknown_scheduler_is_loud():
+    from articulatory_tpu.train.schedulers import build_scheduler
+
+    with pytest.raises(ValueError, match="MIGRATION"):
+        build_scheduler("OneCycleLR", 1e-3, {"max_lr": 1.0})
+
+
+def test_new_schedulers_checkpoint_roundtrip():
+    from articulatory_tpu.train.schedulers import build_scheduler
+
+    for name, params in [
+        ("CosineAnnealingWarmRestarts", {"T_0": 5, "T_mult": 2}),
+        ("CyclicLR", {"base_lr": 1e-4, "max_lr": 1e-2, "step_size_up": 3}),
+    ]:
+        a = build_scheduler(name, 1e-3, dict(params))
+        for _ in range(7):
+            a.step()
+        b = build_scheduler(name, 1e-3, dict(params))
+        b.load_state_dict(a.state_dict())
+        for _ in range(5):
+            a.step()
+            b.step()
+        assert a.lr == b.lr

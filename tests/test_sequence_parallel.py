@@ -41,3 +41,63 @@ def test_time_sharded_forward_and_grad(rng):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_decode_cli_sequence_parallel(tmp_path, monkeypatch, rng):
+    """--sequence-parallel N through bin/decode: same wavs as unsharded."""
+    import os
+    import sys
+
+    import yaml
+
+    from articulatory_tpu.train.gan import GANTrainState
+    from articulatory_tpu.utils.checkpoint import save_checkpoint
+    from articulatory_tpu.utils.io import read_wav
+
+    monkeypatch.chdir(tmp_path)
+    config = {
+        "sampling_rate": 16000, "hop_size": 80, "batch_max_steps": 800,
+        "dataset_mode": "a2w", "format": "hdf5",
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": {
+            "in_channels": 13, "out_channels": 1, "channels": 16,
+            "kernel_size": 7, "upsample_scales": [5, 4, 2, 2],
+            "upsample_kernel_sizes": [10, 8, 4, 4],
+            "resblock_kernel_sizes": [3], "resblock_dilations": [[1, 3]]},
+    }
+    gen = HiFiGANGenerator(
+        in_channels=13, channels=16, upsample_scales=(5, 4, 2, 2),
+        upsample_kernel_sizes=(10, 8, 4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),))
+    v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 13)))
+    state = GANTrainState(params_g=v["params"], params_d={"d": jnp.zeros(1)},
+                          opt_g={}, opt_d={}, steps=jnp.asarray(0, jnp.int32))
+    os.makedirs("exp", exist_ok=True)
+    save_checkpoint("exp/ckpt.ckpt", state)
+    with open("exp/config.yml", "w") as f:
+        yaml.dump(config, f)
+
+    np.save("u0.npy", rng.standard_normal((96, 13)).astype(np.float32))
+    np.save("u1.npy", rng.standard_normal((64, 13)).astype(np.float32))
+    with open("feats.scp", "w") as f:
+        f.write("u0 u0.npy\nu1 u1.npy\n")
+
+    from articulatory_tpu.bin import decode
+
+    base = ["decode", "--feats-scp", "feats.scp", "--checkpoint",
+            "exp/ckpt.ckpt", "--config", "exp/config.yml", "--verbose", "0",
+            "--bucket-frames", "32"]
+    monkeypatch.setattr(sys, "argv", base + ["--outdir", "out_ref"])
+    decode.main()
+    monkeypatch.setattr(sys, "argv",
+                        base + ["--outdir", "out_sp",
+                                "--sequence-parallel", "4"])
+    decode.main()
+
+    for utt in ("u0", "u1"):
+        ref, sr = read_wav(f"out_ref/{utt}_gen.wav")
+        sp, _ = read_wav(f"out_sp/{utt}_gen.wav")
+        assert len(ref) == len(sp)
+        # wav files are 16-bit PCM; sharded float noise can flip an lsb
+        np.testing.assert_allclose(sp.astype(np.int32),
+                                   ref.astype(np.int32), atol=1)
