@@ -72,6 +72,16 @@ class HiFiGANGenerator(nn.Module):
     # compute dtype for the conv stack (e.g. jnp.bfloat16); params stay f32,
     # output is cast back to f32. None = full f32.
     compute_dtype: Any = None
+    # hybrid precision (only meaningful with compute_dtype=bfloat16): keep
+    # the input conv, the FINAL upsample+MRF stage, and the output conv in
+    # f32, running only the interior stages in bf16. Rationale: full-bf16
+    # CAR decode fails the 0.1 dB MCD budget through AR-feedback error
+    # amplification (docs/DESIGN.md §7: per-chunk 0.40 dB -> 9.1 dB after
+    # feedback); the last stage + output conv produce the waveform the AR
+    # ring consumes, so keeping them (and the conditioning head) in f32
+    # targets the feedback path while the wide interior keeps the bf16
+    # MXU win. The PastFCEncoder AR encoder always runs f32 (pre-cast).
+    hybrid_precision: bool = False
     # per-stage space-to-depth packing factors for the MRF resblocks
     # (ops/packed_conv.py): numerically identical (diff ~2e-4 fp reorder).
     # Measured on v5e: -24% generator forward at training shapes (32x8000)
@@ -157,23 +167,31 @@ class HiFiGANGenerator(nn.Module):
                 ph_feats = Embed(self.num_ph, self.ph_emb_size, name="ph_emb_mat")(ph)
                 c = jnp.concatenate([c, ph_feats], axis=-1)
 
-            if self.compute_dtype is not None:
-                c = c.astype(self.compute_dtype)
+            head_dt = None if self.hybrid_precision else self.compute_dtype
+            if head_dt is not None:
+                c = c.astype(head_dt)
             c = Conv1d(self.channels, self.kernel_size,
                        padding=(self.kernel_size - 1) // 2, use_bias=True,
                        use_weight_norm=self.use_weight_norm, kernel_init=kinit,
-                       dtype=self.compute_dtype, name="input_conv")(c)
-        for i in range(len(self.upsample_scales)):
+                       dtype=head_dt, name="input_conv")(c)
+        n_up = len(self.upsample_scales)
+        for i in range(n_up):
             if not (start_stage <= i + 1 < stop_stage):
                 continue
+            # hybrid precision: final upsample+MRF stage stays f32 (it feeds
+            # the AR ring)
+            stage_dt = (None if self.hybrid_precision and i == n_up - 1
+                        else self.compute_dtype)
             ch = self.channels // (2 ** (i + 1))
+            if stage_dt is None and c.dtype == jnp.bfloat16:
+                c = c.astype(jnp.float32)  # bf16 interior -> f32 tail
             c = act(c)
             c = ConvTranspose1d(ch, self.upsample_kernel_sizes[i],
                                 stride=self.upsample_scales[i], padding=pads[i],
                                 output_padding=out_pads[i],
                                 use_weight_norm=self.use_weight_norm,
                                 kernel_init=kinit,
-                                dtype=self.compute_dtype,
+                                dtype=stage_dt,
                                 name=f"upsample_{i}")(c)
             if self.time_packing is None:
                 p = 1
@@ -195,7 +213,7 @@ class HiFiGANGenerator(nn.Module):
                     nonlinear_activation_params=(self.nonlinear_activation_params
                                                  or {"negative_slope": 0.1}),
                     use_weight_norm=self.use_weight_norm, kernel_init=kinit,
-                    compute_dtype=self.compute_dtype, time_pack=p,
+                    compute_dtype=stage_dt, time_pack=p,
                     name=f"block_{i}_{j}")(c)
             c = cs / num_blocks
             if p > 1:
@@ -210,10 +228,12 @@ class HiFiGANGenerator(nn.Module):
         out = Conv1d(self.out_channels, self.kernel_size,
                      padding=(self.kernel_size - 1) // 2,
                      use_weight_norm=self.use_weight_norm, kernel_init=kinit,
-                     dtype=self.compute_dtype, name="output_conv")(out)
+                     dtype=(None if self.hybrid_precision
+                            else self.compute_dtype),
+                     name="output_conv")(out)
         if self.use_tanh:
             out = jnp.tanh(out)
-        out = out.astype(jnp.float32)
+        out = out.astype(jnp.promote_types(out.dtype, jnp.float32))
 
         if self.use_ph_loss:
             final_scale = int(np.prod(self.upsample_scales))
@@ -295,7 +315,7 @@ class HiFiGANPeriodDiscriminator(nn.Module):
                        dtype=self.compute_dtype,
                        name=f"conv_{i}")(x)
             x = act(x)
-            outs.append(x.astype(jnp.float32))
+            outs.append(x.astype(jnp.promote_types(x.dtype, jnp.float32)))
             in_chs = out_chs
             out_chs = min(out_chs * 4, self.max_downsample_channels)
         x = Conv2d(self.out_channels, (self.kernel_sizes[1] - 1, 1),
@@ -304,7 +324,7 @@ class HiFiGANPeriodDiscriminator(nn.Module):
                    use_spectral_norm=self.use_spectral_norm,
                    dtype=self.compute_dtype,
                    name="output_conv")(x)
-        outs.append(x.reshape(b, -1).astype(jnp.float32))
+        outs.append(x.reshape(b, -1).astype(jnp.promote_types(x.dtype, jnp.float32)))
         return outs
 
 
@@ -361,7 +381,7 @@ class HiFiGANScaleDiscriminator(nn.Module):
                    padding=(self.kernel_sizes[0] - 1) // 2, use_bias=self.bias,
                    dtype=self.compute_dtype, name="layer_0")(x)
         x = act(x)
-        outs.append(x.astype(jnp.float32))
+        outs.append(x.astype(jnp.promote_types(x.dtype, jnp.float32)))
 
         in_chs = self.channels
         out_chs = self.channels
@@ -373,7 +393,7 @@ class HiFiGANScaleDiscriminator(nn.Module):
                        use_bias=self.bias, dtype=self.compute_dtype,
                        name=f"layer_{li}")(x)
             x = act(x)
-            outs.append(x.astype(jnp.float32))
+            outs.append(x.astype(jnp.promote_types(x.dtype, jnp.float32)))
             li += 1
             in_chs = out_chs
             out_chs = min(in_chs * 2, self.max_downsample_channels)
@@ -384,11 +404,11 @@ class HiFiGANScaleDiscriminator(nn.Module):
                    padding=(self.kernel_sizes[2] - 1) // 2, use_bias=self.bias,
                    dtype=self.compute_dtype, name=f"layer_{li}")(x)
         x = act(x)
-        outs.append(x.astype(jnp.float32))
+        outs.append(x.astype(jnp.promote_types(x.dtype, jnp.float32)))
         x = Conv1d(self.out_channels, self.kernel_sizes[3],
                    padding=(self.kernel_sizes[3] - 1) // 2, use_bias=self.bias,
                    dtype=self.compute_dtype, name=f"layer_{li + 1}")(x)
-        outs.append(x.astype(jnp.float32))
+        outs.append(x.astype(jnp.promote_types(x.dtype, jnp.float32)))
         return outs
 
 

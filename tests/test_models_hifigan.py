@@ -214,3 +214,33 @@ def test_generator_ph_matches_reference(reference, rng):
                         ph=jnp.asarray(ph, jnp.int32))
     y_ours = np.transpose(np.asarray(y_ours), (0, 2, 1))
     np.testing.assert_allclose(y_ours, y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_hybrid_precision_generator(rng):
+    """hybrid_precision keeps input conv + final stage + output conv in f32
+    with a bf16 interior: output is f32 and materially closer to the full-f32
+    forward than the all-bf16 variant (the AR-feedback-safety rationale,
+    docs/DESIGN.md §7)."""
+    kw = dict(in_channels=21, out_channels=1, channels=32, kernel_size=7,
+              upsample_scales=(5, 4, 2, 2), upsample_kernel_sizes=(10, 8, 4, 4),
+              resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+              use_ar=True, ar_input=64, ar_hidden=8, ar_output=8)
+    g32 = HiFiGANGenerator(**kw)
+    gbf = HiFiGANGenerator(**kw, compute_dtype=jnp.bfloat16)
+    ghy = HiFiGANGenerator(**kw, compute_dtype=jnp.bfloat16,
+                           hybrid_precision=True)
+    c = jnp.asarray(rng.standard_normal((2, 20, 13)), jnp.float32)
+    ar = jnp.asarray(rng.standard_normal((2, 64, 1)) * 0.1, jnp.float32)
+    v = g32.init(jax.random.PRNGKey(0), c, ar=ar)
+    y32 = g32.apply(v, c, ar=ar)
+    ybf = gbf.apply(v, c, ar=ar)
+    yhy = ghy.apply(v, c, ar=ar)
+    assert yhy.dtype == jnp.float32
+    e_bf = float(jnp.abs(ybf - y32).max())
+    e_hy = float(jnp.abs(yhy - y32).max())
+    assert e_hy < 0.25 * e_bf, (e_hy, e_bf)
+    # and it composes with time packing (packed convs cast like Conv1d)
+    ghp = HiFiGANGenerator(**kw, compute_dtype=jnp.bfloat16,
+                           hybrid_precision=True, time_packing="auto")
+    yhp = ghp.apply(v, c, ar=ar)
+    assert float(jnp.abs(yhp - y32).max()) < 0.25 * e_bf

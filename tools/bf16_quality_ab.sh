@@ -40,6 +40,10 @@ yaml.dump(cfg, open(sys.argv[2], "w"))
 bf = dict(cfg)
 bf["generator_params"] = dict(cfg["generator_params"], compute_dtype="bfloat16")
 yaml.dump(bf, open(sys.argv[2].replace("train.yaml", "bf16.yaml"), "w"))
+hy = dict(cfg)
+hy["generator_params"] = dict(cfg["generator_params"],
+                              compute_dtype="bfloat16", hybrid_precision=True)
+yaml.dump(hy, open(sys.argv[2].replace("train.yaml", "hybrid.yaml"), "w"))
 EOF
 
 cd "$WORK"
@@ -66,8 +70,10 @@ if [ ! -f "$CKPT" ]; then
         --outdir exp/ab --config train.yaml --data-root corpus/data
 fi
 
-for variant in f32 bf16; do
-    conf=train.yaml; [ "$variant" = bf16 ] && conf=bf16.yaml
+for variant in f32 bf16 hybrid; do
+    conf=train.yaml
+    [ "$variant" = bf16 ] && conf=bf16.yaml
+    [ "$variant" = hybrid ] && conf=hybrid.yaml
     python3 -m articulatory_tpu.bin.decode \
         --feats-scp corpus/data/dev_set/feats.scp --checkpoint "$CKPT" \
         --config "$conf" --outdir "out_$variant" \
@@ -82,4 +88,9 @@ python3 -m articulatory_tpu.bin.compute_mcd --gen-dir out_f32 \
     --ref-dir corpus/wavs --dtw
 echo "== MCD(bf16, ground truth) =="
 python3 -m articulatory_tpu.bin.compute_mcd --gen-dir out_bf16 \
+    --ref-dir corpus/wavs --dtw
+echo "== MCD(hybrid, f32) — numeric cost of hybrid bf16 =="
+python3 -m articulatory_tpu.bin.compute_mcd --gen-dir out_hybrid --ref-dir out_f32
+echo "== MCD(hybrid, ground truth) =="
+python3 -m articulatory_tpu.bin.compute_mcd --gen-dir out_hybrid \
     --ref-dir corpus/wavs --dtw
