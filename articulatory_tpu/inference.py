@@ -274,7 +274,10 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
         in_chunk_len = int(audio_chunk_len / config["hop_size"])
         past_out_len = gp.get("ar_input", 512)
 
-    x = np.asarray(x, np.float32)
+    x = np.asarray(x)
+    # f64 preserved for jax_enable_x64 parity decodes (cotrain_parity.py);
+    # everything else (incl. int phoneme ids) computes in f32 as usual
+    x = x if x.dtype == np.float64 else x.astype(np.float32)
     if x.ndim == 1:
         x = x[:, None]
 
@@ -291,7 +294,7 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
         ins = [x[i:i + in_chunk_len] for i in range(0, len(x), in_chunk_len)]
         if w2a and len(ins[-1]) < config["hop_size"]:
             ins = ins[:-1]
-        prev = jnp.zeros((1, past_out_len, out_channels), jnp.float32)
+        prev = jnp.zeros((1, past_out_len, out_channels), x.dtype)
         outs = []  # device-resident; one host sync at the end keeps the
         # chunk pipeline full instead of a transfer round-trip per chunk
         for cin in ins:

@@ -83,7 +83,11 @@ def stft(x: jax.Array, *, n_fft: int, hop: int, win_length: int | None = None,
     """Complex STFT ``(..., T) -> (..., n_frames, n_fft//2 + 1)``."""
     if win_length is None:
         win_length = n_fft
-    w = jnp.asarray(_padded_window(window, win_length, n_fft), dtype=x.dtype)
+    # window built in f64 and cast ONCE to the input dtype, so f64 inputs
+    # (jax_enable_x64 parity runs, tools/cotrain_parity.py) see a full-
+    # precision window exactly like torch.hann_window(dtype=x.dtype)
+    w = jnp.asarray(_padded_window(window, win_length, n_fft, dtype=np.float64),
+                    dtype=x.dtype)
     if center:
         pad = n_fft // 2
         pad_cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]

@@ -1,0 +1,70 @@
+"""Long-horizon co-training parity harness (tools/cotrain_parity.py).
+
+The committed artifact tools/artifacts/cotrain_parity.json is the full
+500-step statement (trajectory envelope + trained-model MCD); this test
+executes the same harness end to end at a shortened horizon so the claim
+stays continuously verified:
+
+- float64 co-training (rounding ~1e-16/op) over a horizon that crosses the
+  discriminator_train_start_steps flip AND two MultiStepLR milestones,
+  asserting per-step and eval-mel trajectories agree to ~1e-9 and the
+  trained-model cross-framework MCD is ~0 — any semantic drift source the
+  4-step f32 test cannot see (optimizer eps placement, clip-then-step
+  order, scheduler step timing, gating off-by-one) would blow these up
+  exponentially over the run.
+
+Runs in a subprocess: jax_enable_x64 is process-global and must not leak
+into the rest of the suite.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+from conftest import requires_reference
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@requires_reference
+def test_cotrain_parity_x64_short_horizon(tmp_path):
+    out = str(tmp_path / "cotrain.json")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    rc = subprocess.call(
+        [sys.executable, os.path.join(REPO, "tools", "cotrain_parity.py"),
+         "--steps", "40", "--disc-start", "10", "--milestones", "15", "25",
+         "--eval-every", "10", "--n-train-utts", "6", "--n-dev-utts", "2",
+         "--n-eval-batches", "1", "--n-decode", "1", "--decode-frames", "120",
+         "--batch-size", "2", "--batch-max-steps", "2400", "--x64",
+         "--envelope-pre", "1e-9", "--envelope-eval", "1e-9",
+         "--learn-factor", "1.05", "--mcd-budget", "0.01",
+         "--out", out],
+        env=env)
+    assert rc == 0, "cotrain parity harness reported envelope violations"
+    report = json.load(open(out))
+    assert report["ok"], report["failures"]
+    # disc phase really fired and was compared on both sides
+    assert any("disc" in r for r in report["torch"]["logs"])
+    assert any("disc" in r for r in report["ours"]["logs"])
+    # f64 leaves no room for semantic drift
+    assert report["checks"]["pre_disc_mel_max_rel"] < 1e-9
+    assert report["checks"]["eval_mel_max_rel"] < 1e-9
+    assert report["checks"]["worst_mcd_ours_vs_ref"] < 0.01
+
+
+@requires_reference
+def test_cotrain_committed_artifact_is_green():
+    """The committed 500-step artifact must exist and be a passing run with
+    the documented profile (disc-start + 2 LR milestones mid-run)."""
+    path = os.path.join(REPO, "tools", "artifacts", "cotrain_parity.json")
+    assert os.path.exists(path), "committed co-training artifact missing"
+    report = json.load(open(path))
+    assert report["ok"], report["failures"]
+    cfg = report["config"]
+    assert cfg["steps"] >= 300
+    assert 0 < cfg["disc_start"] < cfg["steps"]
+    assert all(cfg["disc_start"] < m < cfg["steps"] for m in cfg["milestones"])
+    assert report["checks"]["worst_mcd_ours_vs_ref"] <= cfg["mcd_budget"]
