@@ -189,6 +189,11 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
     batch_max_steps = int(config.get("batch_max_steps", 0))
 
     use_remat = bool(config.get("use_remat", False))
+    # fused real/fake disc pass: off for random-window discriminators, whose
+    # reference semantics draw FRESH windows per call (style_melgan.py:333) —
+    # a shared forward would score real and fake over the same windows
+    fuse_disc = bool(config.get(
+        "fuse_disc_passes", type(disc).__name__ != "StyleMelGANDiscriminator"))
 
     @jax.checkpoint
     def _remat_forward(params_g, x, spk_id, ar, ph, rng):
@@ -343,8 +348,22 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
         disc_y, disc_y2_ = disc_inputs(batch, y, y2_)
 
         def disc_loss_fn(params_d):
-            p = disc_apply(params_d, disc_y, rng_w2)
-            p_ = disc_apply(params_d, disc_y2_, rng_w3)
+            if fuse_disc:
+                # one batched forward over [real; fake]: same FLOPs as two
+                # passes, but each disc weight is streamed from HBM once per
+                # layer instead of twice — a measured train-step win on TPU,
+                # where the narrow-channel disc stack is bandwidth-bound.
+                # Per-example conv math is batch-independent, so the loss is
+                # numerically the two-pass loss.
+                nb = disc_y.shape[0]
+                p_all = disc_apply(
+                    params_d, jnp.concatenate([disc_y, disc_y2_], axis=0),
+                    rng_w2)
+                p = jax.tree.map(lambda t: t[:nb], p_all)
+                p_ = jax.tree.map(lambda t: t[nb:], p_all)
+            else:
+                p = disc_apply(params_d, disc_y, rng_w2)
+                p_ = disc_apply(params_d, disc_y2_, rng_w3)
             real_l, fake_l = criterion.dis_adv(p_, p)
             return real_l + fake_l, (real_l, fake_l)
 
@@ -377,6 +396,8 @@ def make_eval_step(gen, disc, criterion: GANCriterion, config: dict,
     has_gen2 = gen2 is not None
     use_ar = config.get("generator_params", {}).get("use_ar", False)
     batch_max_steps = int(config.get("batch_max_steps", 0))
+    fuse_disc = bool(config.get(
+        "fuse_disc_passes", type(disc).__name__ != "StyleMelGANDiscriminator"))
 
     def generate(state, batch, rng):
         rngs = {"dropout": jax.random.fold_in(rng, 0),
@@ -442,12 +463,23 @@ def make_eval_step(gen, disc, criterion: GANCriterion, config: dict,
         else:
             disc_y, disc_y_ = y, y_
 
-        p_ = disc.apply({"params": state.params_d}, disc_y_,
-                        rngs={"window": rng_w1})
+        if fuse_disc:
+            # batched real/fake pass (same rationale as train_step; eval has
+            # no gradient so this is a pure bandwidth win)
+            nb = disc_y.shape[0]
+            p_all = disc.apply(
+                {"params": state.params_d},
+                jnp.concatenate([disc_y_, disc_y], axis=0),
+                rngs={"window": rng_w1})
+            p_ = jax.tree.map(lambda t: t[:nb], p_all)
+            p = jax.tree.map(lambda t: t[nb:], p_all)
+        else:
+            p_ = disc.apply({"params": state.params_d}, disc_y_,
+                            rngs={"window": rng_w1})
+            p = disc.apply({"params": state.params_d}, disc_y,
+                           rngs={"window": rng_w2})
         adv = criterion.gen_adv(p_)
         metrics["eval/adversarial_loss"] = adv
-        p = disc.apply({"params": state.params_d}, disc_y,
-                       rngs={"window": rng_w2})
         if criterion.use_feat_match_loss:
             fm = criterion.feat_match(p_, p)
             metrics["eval/feature_matching_loss"] = fm
