@@ -58,6 +58,10 @@ def main():
     args = parser.parse_args()
     set_logging(args.verbose)
 
+    from articulatory_tpu.utils.platform import honor_jax_platforms
+
+    honor_jax_platforms()
+
     from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()

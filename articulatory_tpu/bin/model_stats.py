@@ -34,6 +34,10 @@ def main():
     parser.add_argument("--batch", type=int, default=1)
     args = parser.parse_args()
 
+    from articulatory_tpu.utils.platform import honor_jax_platforms
+
+    honor_jax_platforms()
+
     with open(args.config) as f:
         config = yaml.load(f, Loader=yaml.Loader)
     gp = fix_generator_params(config["generator_params"])

@@ -246,18 +246,11 @@ def main():
     args = build_parser().parse_args()
     set_logging(args.verbose)
 
-    # Honor the JAX_PLATFORMS env var explicitly: a sitecustomize may have
-    # imported jax before this point, after which the env var alone is
-    # ignored — only jax.config.update takes effect. Also make a CPU
-    # backend available for cheap init compiles alongside the TPU.
-    plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat:
-        if "cpu" not in plat.split(","):
-            plat = plat + ",cpu"
-        try:
-            jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
+    # Honor the JAX_PLATFORMS env var even after a sitecustomize imported
+    # jax (utils/platform.py; also used by bin/decode.py, model_stats.py)
+    from articulatory_tpu.utils.platform import honor_jax_platforms
+
+    honor_jax_platforms()
 
     from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
 
