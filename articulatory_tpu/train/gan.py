@@ -189,11 +189,15 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
     batch_max_steps = int(config.get("batch_max_steps", 0))
 
     use_remat = bool(config.get("use_remat", False))
-    # fused real/fake disc pass: off for random-window discriminators, whose
-    # reference semantics draw FRESH windows per call (style_melgan.py:333) —
-    # a shared forward would score real and fake over the same windows
-    fuse_disc = bool(config.get(
-        "fuse_disc_passes", type(disc).__name__ != "StyleMelGANDiscriminator"))
+    # fused real/fake disc pass (one batched [real; fake] forward): measured
+    # a quantified NEGATIVE on v5e at 32x8000 — 142.0 ms vs 137.7 ms
+    # unfused (+3%; the concat materializes a 2Bx8512 buffer and XLA already
+    # amortizes weight reads across the two calls) — so the default is OFF
+    # (benchmarks/train_bench.py --fuse-disc reproduces the A/B). Note for
+    # anyone enabling it: random-window discriminators (StyleMelGAN) draw
+    # FRESH windows per call in the reference (style_melgan.py:333); the
+    # fused pass scores real and fake over the SAME windows.
+    fuse_disc = bool(config.get("fuse_disc_passes", False))
 
     @jax.checkpoint
     def _remat_forward(params_g, x, spk_id, ar, ph, rng):
@@ -396,8 +400,7 @@ def make_eval_step(gen, disc, criterion: GANCriterion, config: dict,
     has_gen2 = gen2 is not None
     use_ar = config.get("generator_params", {}).get("use_ar", False)
     batch_max_steps = int(config.get("batch_max_steps", 0))
-    fuse_disc = bool(config.get(
-        "fuse_disc_passes", type(disc).__name__ != "StyleMelGANDiscriminator"))
+    fuse_disc = bool(config.get("fuse_disc_passes", False))
 
     def generate(state, batch, rng):
         rngs = {"dropout": jax.random.fold_in(rng, 0),

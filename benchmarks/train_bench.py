@@ -31,9 +31,10 @@ def main():
                         "on the generator's narrow late stages")
     p.add_argument("--gen-bf16", action="store_true",
                    help="generator conv stack in bfloat16 (params f32)")
-    p.add_argument("--no-fuse-disc", action="store_true",
-                   help="A/B: separate real/fake disc passes instead of the "
-                        "batched-concat forward (fuse_disc_passes)")
+    p.add_argument("--fuse-disc", action="store_true",
+                   help="A/B: batched-concat [real; fake] disc forward "
+                        "(fuse_disc_passes; measured +3% step time on v5e "
+                        "at 32x8000 -> default off)")
     p.add_argument("--disc-bf16", action="store_true",
                    help="all 8 discriminators in bfloat16 (A/B: measured "
                         "slower than f32 pre-MXU-rewrites; re-testable here "
@@ -73,7 +74,7 @@ def main():
         "discriminator_train_start_steps": 0,
         "generator_params": {"out_channels": 1, "use_ar": True,
                              "ar_input": 512},
-        "fuse_disc_passes": not args.no_fuse_disc,
+        "fuse_disc_passes": args.fuse_disc,
     }
     gen = HiFiGANGenerator(
         in_channels=141, out_channels=1, channels=512, kernel_size=7,
