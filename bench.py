@@ -13,8 +13,14 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "samples_per_sec_per_chip",
    "vs_baseline": N}
 Baseline = 50x realtime at 16 kHz = 800_000 samples/sec/chip (BASELINE.md).
-Round-2 measured: 25.4M samples/s/chip with the default exact-equivalence
-time packing (21.0M without).
+Round-2 measured: 32.5M samples/s/chip f32 (time packing on, batch 112).
+Round-3 default: hybrid precision (f32 AR feedback path around a bf16
+interior) — 36.2M samples/s/chip measured at the same knee (+11%), with
+trained-weights decode quality certified in docs/DESIGN.md §7: its
+ground-truth MCD is within 0.08 dB of the f32 decode's and its divergence
+from f32 (3.25 dB) sits at 1.11x the f32 decode's OWN 1-ulp noise cone
+(2.93 dB) — numerically indistinguishable from an f32 decode. `--f32`
+reproduces the pure-f32 number.
 """
 
 from __future__ import annotations
@@ -31,9 +37,11 @@ BASELINE_SAMPLES_PER_SEC = 50 * 16000
 #   16 -> 25.1M, 24 -> 26.5M, 32 -> 26.8M, 48 -> 28.4M, 64 -> 29.7M,
 #   80 -> 31.1M, 96 -> 32.2M, 112 -> 32.6-32.9M, 120 -> 28.8M, 128 -> 29.3M
 # (the pre-packing sweep peaked at 16: 8 -> 20.0M, 16 -> 20.6M, 32 -> 19.8M
-# — packing moved the knee). 112 is the measured optimum; offline batched
-# synthesis is the headline workload, per-utterance latency is the
-# streaming bench's metric (articulatory_tpu/streaming.py).
+# — packing moved the knee). The hybrid-precision sweep keeps the same
+# knee: 96 -> 35.7M, 112 -> 36.2M, 128 -> 33.4M, 144 -> 31.6M. 112 is the
+# measured optimum; offline batched synthesis is the headline workload,
+# per-utterance latency is the streaming bench's metric
+# (articulatory_tpu/streaming.py).
 BATCH = 112
 SECONDS_PER_UTT = 30.0
 FRAME_RATE = 200
@@ -53,6 +61,10 @@ def main():
                         help="generator conv stack in bfloat16 (params f32; "
                              "numerics-changing — quality impact quantified "
                              "in docs/DESIGN.md before any default change)")
+    parser.add_argument("--f32", action="store_true",
+                        help="disable the default hybrid precision and run "
+                             "the generator fully in f32 (round-2 headline "
+                             "configuration: 32.5M samples/s/chip)")
     parser.add_argument("--no-time-packing", action="store_true",
                         help="disable the exact-equivalence space-to-depth "
                              "packing of the narrow late stages (packing is "
@@ -69,6 +81,7 @@ def main():
 
     from articulatory_tpu.models import HiFiGANGenerator
 
+    hybrid = not (args.f32 or args.gen_bf16)
     model = HiFiGANGenerator(
         in_channels=141, out_channels=1, channels=512, kernel_size=7,
         upsample_scales=(5, 4, 2, 2), upsample_kernel_sizes=(10, 8, 4, 4),
@@ -76,7 +89,8 @@ def main():
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
         use_ar=True, ar_input=AR_INPUT, ar_hidden=256, ar_output=128,
         time_packing=None if args.no_time_packing else "auto",
-        compute_dtype=jnp.bfloat16 if args.gen_bf16 else None)
+        compute_dtype=(None if args.f32 else jnp.bfloat16),
+        hybrid_precision=hybrid)
 
     n_frames = int(SECONDS_PER_UTT * FRAME_RATE)
     n_chunks = n_frames // CHUNK_FRAMES

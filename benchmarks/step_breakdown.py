@@ -77,6 +77,10 @@ def main():
     p.add_argument("--bf16-disc", action="store_true",
                    help="run the discriminator conv stacks in bfloat16 "
                         "(params f32, fmaps cast back to f32)")
+    p.add_argument("--time-packing", action="store_true",
+                   help="enable the exact-equivalence space-to-depth packing "
+                        "on the generator (the shipped default for training) "
+                        "so the full-step cost analysis matches production")
     args = p.parse_args()
 
     import jax
@@ -119,7 +123,8 @@ def main():
         upsample_scales=(5, 4, 2, 2), upsample_kernel_sizes=(10, 8, 4, 4),
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
-        use_ar=True, ar_input=512, ar_hidden=256, ar_output=128)
+        use_ar=True, ar_input=512, ar_hidden=256, ar_output=128,
+        time_packing="auto" if args.time_packing else None)
     disc = HiFiGANMultiScaleMultiPeriodDiscriminator(
         compute_dtype=jnp.bfloat16 if args.bf16_disc else None)
 

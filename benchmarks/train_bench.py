@@ -35,6 +35,12 @@ def main():
                    help="A/B: batched-concat [real; fake] disc forward "
                         "(fuse_disc_passes; measured +3% step time on v5e "
                         "at 32x8000 -> default off)")
+    p.add_argument("--remat", action="store_true",
+                   help="A/B: rematerialize the generator forward in the "
+                        "gen update (config use_remat) — trades an extra "
+                        "forward's FLOPs for the saved activations' HBM "
+                        "traffic; the step is bandwidth-bound, so this can "
+                        "go either way")
     p.add_argument("--disc-bf16", action="store_true",
                    help="all 8 discriminators in bfloat16 (A/B: measured "
                         "slower than f32 pre-MXU-rewrites; re-testable here "
@@ -75,6 +81,7 @@ def main():
         "generator_params": {"out_channels": 1, "use_ar": True,
                              "ar_input": 512},
         "fuse_disc_passes": args.fuse_disc,
+        "use_remat": args.remat,
     }
     gen = HiFiGANGenerator(
         in_channels=141, out_channels=1, channels=512, kernel_size=7,

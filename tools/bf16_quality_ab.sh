@@ -94,3 +94,39 @@ python3 -m articulatory_tpu.bin.compute_mcd --gen-dir out_hybrid --ref-dir out_f
 echo "== MCD(hybrid, ground truth) =="
 python3 -m articulatory_tpu.bin.compute_mcd --gen-dir out_hybrid \
     --ref-dir corpus/wavs --dtw
+
+# Self-drift control: the chunked-AR decode is chaotic (past the Lyapunov
+# horizon any perturbation decorrelates waveforms), so MCD(variant, f32)
+# alone can't separate "worse quality" from "different trajectory of the
+# same quality". Decode the SAME f32 config from a 1-ulp-perturbed
+# checkpoint: that MCD is the f32 decode's OWN noise cone. A precision
+# variant whose (a) divergence is ~the cone and (b) ground-truth MCD is
+# within the 0.1 dB budget of f32's is numerically indistinguishable from
+# an f32 decode; one outside the cone genuinely degrades.
+python3 - <<'EOF'
+import numpy as np, flax, jax
+from articulatory_tpu.utils.checkpoint import load_checkpoint
+import sys, os
+steps = os.environ.get("STEPS_ENV")
+ck = sorted(p for p in os.listdir('exp/ab') if p.startswith('checkpoint-')
+            and p.endswith('steps.ckpt'))[-1]
+p = load_checkpoint(f'exp/ab/{ck}')
+ulp = np.float32(1.0 + 2.0 ** -23)
+p['model']['generator'] = jax.tree.map(
+    lambda a: (a * ulp).astype(a.dtype)
+    if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+    p['model']['generator'])
+with open('exp/ab/ulp_control.ckpt', 'wb') as f:
+    f.write(flax.serialization.msgpack_serialize(p))
+print(f'wrote 1-ulp perturbed {ck}')
+EOF
+python3 -m articulatory_tpu.bin.decode \
+    --feats-scp corpus/data/dev_set/feats.scp \
+    --checkpoint exp/ab/ulp_control.ckpt \
+    --config train.yaml --outdir out_f32ulp 2> decode_f32ulp.log \
+    || { cat decode_f32ulp.log; exit 1; }
+echo "== MCD(f32-1ulp, f32) — the f32 decode's own noise cone =="
+python3 -m articulatory_tpu.bin.compute_mcd --gen-dir out_f32ulp --ref-dir out_f32
+echo "== MCD(f32-1ulp, ground truth) =="
+python3 -m articulatory_tpu.bin.compute_mcd --gen-dir out_f32ulp \
+    --ref-dir corpus/wavs --dtw
