@@ -40,6 +40,13 @@ def main():
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--no-time-packing", action="store_true")
+    p.add_argument("--hybrid", action="store_true",
+                   help="hybrid precision (f32 AR feedback path, bf16 "
+                        "interior) — quality-certified on the E2W flagship "
+                        "via the 1-ulp noise-cone control (DESIGN.md §7). "
+                        "Measured at the batch-128 knee: 39.89M vs 35.33M "
+                        "f32 samples/s/chip (+12.9%); stays opt-in until "
+                        "the MRI-shape quality A/B certifies it")
     p.add_argument("--sweep", type=int, nargs="*", default=None,
                    help="batch-size sweep (VERDICT round-2 weak #5: find "
                         "the throughput knee like the E2W flagship's "
@@ -62,7 +69,9 @@ def main():
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
         use_ar=True, ar_input=AR_INPUT, ar_hidden=256, ar_output=128,
-        time_packing=None if args.no_time_packing else "auto")
+        time_packing=None if args.no_time_packing else "auto",
+        compute_dtype=jnp.bfloat16 if args.hybrid else None,
+        hybrid_precision=args.hybrid)
 
     @jax.jit
     def chunk_fwd(params, cin, prev):
