@@ -31,6 +31,12 @@ def main():
                         "on the generator's narrow late stages")
     p.add_argument("--gen-bf16", action="store_true",
                    help="generator conv stack in bfloat16 (params f32)")
+    p.add_argument("--gen-hybrid", action="store_true",
+                   help="hybrid precision: f32 input conv + final "
+                        "upsample/MRF stage + output conv around a bf16 "
+                        "interior (the decode-certified configuration; "
+                        "see tools/hybrid_train_quality_ab.sh for the "
+                        "training-quality A/B)")
     p.add_argument("--fuse-disc", action="store_true",
                    help="A/B: batched-concat [real; fake] disc forward "
                         "(fuse_disc_passes; measured +3% step time on v5e "
@@ -90,7 +96,9 @@ def main():
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
         use_ar=True, ar_input=512, ar_hidden=256, ar_output=128,
         time_packing="auto" if args.time_packing else None,
-        compute_dtype=jnp.bfloat16 if args.gen_bf16 else None)
+        compute_dtype=(jnp.bfloat16 if args.gen_bf16 or args.gen_hybrid
+                       else None),
+        hybrid_precision=args.gen_hybrid)
     disc = HiFiGANMultiScaleMultiPeriodDiscriminator(
         compute_dtype=jnp.bfloat16 if args.disc_bf16 else None)
 
