@@ -31,7 +31,7 @@ from articulatory_tpu.data import (
     SpeechCollater,
     SpeechDataset,
 )
-from articulatory_tpu.data.transforms import get_transform
+from articulatory_tpu.data.transforms import ART_ONLY_TRANSFORMS, get_transform
 from articulatory_tpu.models import build_model
 from articulatory_tpu.parallel.mesh import make_data_mesh, replicate
 from articulatory_tpu.train.gan import (
@@ -102,13 +102,19 @@ def build_datasets(args, config):
         raise ValueError("support only hdf5 or npy format.")
 
     dataset_mode = config.get("dataset_mode", "default")
-    transform = get_transform(config.get("transform"))
+    transform_spec = config.get("transform")
+    transform = get_transform(transform_spec)
     input_transform = config.get("input_transform")
     input_transform = (get_transform(input_transform)
                        if input_transform is not None else transform)
     output_transform = config.get("output_transform")
-    output_transform = (get_transform(output_transform)
-                        if output_transform is not None else transform)
+    if output_transform is not None:
+        output_transform = get_transform(output_transform)
+    elif transform_spec not in ART_ONLY_TRANSFORMS:
+        # reference train.py:1539 defaults output_transform to ``transform``
+        # — but art-only transforms (e.g. "10*f0") must not be applied to
+        # SpeechDataset's 1-D audio output (see data/transforms.py).
+        output_transform = transform
 
     rng = np.random.default_rng(config.get("seed", 0))
     if dataset_mode in ("art", "a2m", "m2a"):

@@ -74,6 +74,14 @@ _TRANSFORMS = {
     "10*f0": scale_10_f0,
 }
 
+# Transforms that only make sense on (T, C) articulatory features. When the
+# bare ``transform`` key defaults input_transform/output_transform (reference
+# train.py:1536-1541), these must never reach the 1-D audio side of
+# SpeechDataset — the reference itself cannot apply "10*f0" there (its
+# getattr resolution crashes on the string), so art-only application IS the
+# reference contract.
+ART_ONLY_TRANSFORMS = frozenset({"10*f0"})
+
 
 def get_transform(name: str):
     """Resolve a transform by name (reference train.py:1536-1541 getattr)."""

@@ -103,8 +103,21 @@ class LoadedModel:
         if self.sp_mesh is not None and ar is None:
             from articulatory_tpu.parallel.sp import shard_time
 
-            return self._jit_forward_sp(self.params,
-                                        shard_time(jnp.asarray(c), self.sp_mesh))
+            # device_put with a time sharding requires T % n == 0 — pad up
+            # and trim the upsampled tail (same boundary caveat as
+            # ``bucket_frames``: only the last receptive-field window of a
+            # padded forward can differ marginally from exact-length).
+            c = jnp.asarray(c)
+            n = self.sp_mesh.shape["model"]
+            t = c.shape[1]
+            pad = -t % n
+            if pad:
+                c = jnp.pad(c, [(0, 0), (0, pad)] + [(0, 0)] * (c.ndim - 2))
+            out = self._jit_forward_sp(self.params,
+                                       shard_time(c, self.sp_mesh))
+            if pad:
+                out = out[:, : (out.shape[1] * t) // c.shape[1]]
+            return out
         return self._jit_forward(self.params, c, ar)
 
     def remove_weight_norm(self) -> None:

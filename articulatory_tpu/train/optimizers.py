@@ -131,10 +131,15 @@ def build_optimizer(name: str, params: dict | None = None,
     if grad_norm and grad_norm > 0:
         chain.append(optax.clip_by_global_norm(grad_norm))
 
-    wd = params.get("weight_decay", 0.0)
+    # every branch POPS the keys it consumes; leftovers are rejected below
+    # (torch.optim.<name> raises TypeError on unexpected kwargs too, and a
+    # silently-ignored key — e.g. a typo'd "b1" instead of "betas", or an
+    # unimplemented torch kwarg like amsgrad — would be a silent numerics
+    # divergence from the YAML's intent)
+    wd = params.pop("weight_decay", 1e-2 if name == "AdamW" else 0.0)
     if name in ("Adam", "RAdam"):
-        b1, b2 = params.get("betas", (0.9, 0.999))
-        eps = params.get("eps", 1e-8)
+        b1, b2 = params.pop("betas", (0.9, 0.999))
+        eps = params.pop("eps", 1e-8)
         if wd:
             chain.append(optax.add_decayed_weights(wd))
         if name == "Adam":
@@ -142,48 +147,54 @@ def build_optimizer(name: str, params: dict | None = None,
         else:
             chain.append(optax.scale_by_radam(b1=b1, b2=b2, eps=eps))
     elif name == "AdamW":
-        b1, b2 = params.get("betas", (0.9, 0.999))
-        eps = params.get("eps", 1e-8)
+        b1, b2 = params.pop("betas", (0.9, 0.999))
+        eps = params.pop("eps", 1e-8)
         chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
-        chain.append(optax.add_decayed_weights(params.get("weight_decay", 1e-2)))
+        chain.append(optax.add_decayed_weights(wd))
     elif name == "SGD":
-        momentum = params.get("momentum", 0.0)
+        momentum = params.pop("momentum", 0.0)
+        nesterov = params.pop("nesterov", False)
         if wd:
             chain.append(optax.add_decayed_weights(wd))
         if momentum:
-            chain.append(optax.trace(decay=momentum,
-                                     nesterov=params.get("nesterov", False)))
+            chain.append(optax.trace(decay=momentum, nesterov=nesterov))
     elif name == "RMSprop":
         if wd:
             chain.append(optax.add_decayed_weights(wd))
         chain.append(_scale_by_torch_rmsprop(
-            alpha=params.get("alpha", 0.99), eps=params.get("eps", 1e-8),
-            centered=params.get("centered", False)))
-        momentum = params.get("momentum", 0.0)
+            alpha=params.pop("alpha", 0.99), eps=params.pop("eps", 1e-8),
+            centered=params.pop("centered", False)))
+        momentum = params.pop("momentum", 0.0)
         if momentum:
             chain.append(optax.trace(decay=momentum))
     elif name == "Adagrad":
         if wd:
             chain.append(optax.add_decayed_weights(wd))
         chain.append(_scale_by_torch_adagrad(
-            eps=params.get("eps", 1e-10),
-            lr_decay=params.get("lr_decay", 0.0),
-            initial_accumulator_value=params.get(
+            eps=params.pop("eps", 1e-10),
+            lr_decay=params.pop("lr_decay", 0.0),
+            initial_accumulator_value=params.pop(
                 "initial_accumulator_value", 0.0)))
     elif name == "Adadelta":
         if wd:
             chain.append(optax.add_decayed_weights(wd))
         chain.append(_scale_by_torch_adadelta(
-            rho=params.get("rho", 0.9), eps=params.get("eps", 1e-6)))
+            rho=params.pop("rho", 0.9), eps=params.pop("eps", 1e-6)))
     elif name == "Adamax":
-        b1, b2 = params.get("betas", (0.9, 0.999))
+        b1, b2 = params.pop("betas", (0.9, 0.999))
         if wd:
             chain.append(optax.add_decayed_weights(wd))
         chain.append(_scale_by_torch_adamax(
-            b1=b1, b2=b2, eps=params.get("eps", 1e-8)))
+            b1=b1, b2=b2, eps=params.pop("eps", 1e-8)))
     else:
         raise ValueError(
             f"Unsupported optimizer: {name}. Supported torch names: Adam, "
             "RAdam, AdamW, SGD, RMSprop, Adagrad, Adadelta, Adamax "
             "(see docs/MIGRATION.md).")
+    if params:
+        raise TypeError(
+            f"{name} got unexpected optimizer_params {sorted(params)} — "
+            "either a typo (e.g. 'b1'/'b2' instead of 'betas') or a torch "
+            "kwarg this framework does not implement (see "
+            "docs/MIGRATION.md); refusing to silently ignore it.")
     return optax.chain(*chain) if chain else optax.identity()

@@ -38,13 +38,13 @@ class _Scheduler:
 class ConstantLR(_Scheduler):
     """torch semantics: lr * factor until ``total_iters``, then lr.
 
-    Internal callers construct it with no params as a true constant; note
-    torch's own defaults are factor=1/3, total_iters=5, so YAML configs
-    relying on torch defaults must spell them out.
+    Defaults mirror torch's (factor=1/3, total_iters=5) so a YAML config
+    that relies on torch defaults trains the same trajectory here; callers
+    wanting a true constant must pass ``factor=1.0`` explicitly.
     """
 
-    def __init__(self, base_lr: float, factor: float = 1.0,
-                 total_iters: int = 0):
+    def __init__(self, base_lr: float, factor: float = 1.0 / 3.0,
+                 total_iters: int = 5):
         super().__init__(base_lr)
         self.factor = factor
         self.total_iters = total_iters

@@ -154,22 +154,37 @@ def _fetch_drive_file(url: str, output_path: str, chunk_size: int = 1 << 20):
 
 def _extract_flat(archive_path: str, dest_dir: str):
     """Extract regular members flattened to their basenames (the reference's
-    extraction shape: every checkpoint lands directly in the tag dir)."""
-    os.makedirs(dest_dir, exist_ok=True)
-    with tarfile.open(archive_path, "r:*") as tar:
-        for member in tar.getmembers():
-            if not member.isreg():
-                continue
-            name = os.path.basename(member.name)
-            if not name or name.startswith(("/", "..")):
-                continue
-            src = tar.extractfile(member)
-            with open(os.path.join(dest_dir, name), "wb") as out:
-                while True:
-                    chunk = src.read(1 << 20)
-                    if not chunk:
-                        break
-                    out.write(chunk)
+    extraction shape: every checkpoint lands directly in the tag dir).
+
+    Extraction is staged through a temp dir and renamed into place only on
+    success, so a truncated archive that fails mid-extraction can never
+    leave a partial checkpoint*.pkl where ``_resolve_cached`` would treat it
+    as a valid cache hit on the next call.
+    """
+    import shutil
+
+    tmp_dir = f"{dest_dir}.tmp-{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    try:
+        with tarfile.open(archive_path, "r:*") as tar:
+            for member in tar.getmembers():
+                if not member.isreg():
+                    continue
+                name = os.path.basename(member.name)
+                if not name or name.startswith(("/", "..")):
+                    continue
+                src = tar.extractfile(member)
+                with open(os.path.join(tmp_dir, name), "wb") as out:
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+    except BaseException:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
+    shutil.rmtree(dest_dir, ignore_errors=True)
+    os.rename(tmp_dir, dest_dir)
 
 
 def _resolve_cached(tag_dir: str) -> str | None:

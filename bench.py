@@ -81,6 +81,8 @@ def main():
 
     from articulatory_tpu.models import HiFiGANGenerator
 
+    if args.f32 and args.gen_bf16:
+        parser.error("--f32 and --gen-bf16 are mutually exclusive")
     hybrid = not (args.f32 or args.gen_bf16)
     model = HiFiGANGenerator(
         in_channels=141, out_channels=1, channels=512, kernel_size=7,

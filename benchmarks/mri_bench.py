@@ -65,6 +65,8 @@ def main():
                         "the throughput knee like the E2W flagship's "
                         "16->112 sweep); empty flag = default ladder")
     args = p.parse_args()
+    if args.f32 and args.hybrid:
+        p.error("--f32 and --hybrid are mutually exclusive")
     hybrid = not args.f32
 
     import jax

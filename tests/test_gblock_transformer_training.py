@@ -36,7 +36,7 @@ def _finite_step(gen, disc, config, batch, init_kwargs):
     key = jax.random.PRNGKey(0)
     vg = gen.init(key, batch["x"][0], **init_kwargs)
     vd = disc.init({"params": key, "window": key}, batch["y"])
-    tx = build_optimizer("Adam", {"b1": 0.5, "b2": 0.9})
+    tx = build_optimizer("Adam", {"betas": (0.5, 0.9)})
     state = GANTrainState(
         params_g=vg["params"], params_d=vd["params"],
         opt_g=tx.init(vg["params"]), opt_d=tx.init(vd["params"]),

@@ -42,7 +42,7 @@ def _run_step(gen, disc, config, x, y, init_args):
     key = jax.random.PRNGKey(0)
     vg = gen.init({"params": key, "noise": key}, *init_args)
     vd = disc.init({"params": key, "window": key}, y)
-    tx = build_optimizer("Adam", {"b1": 0.5, "b2": 0.9})
+    tx = build_optimizer("Adam", {"betas": (0.5, 0.9)})
     state = GANTrainState(params_g=vg["params"], params_d=vd["params"],
                           opt_g=tx.init(vg["params"]),
                           opt_d=tx.init(vd["params"]),

@@ -182,8 +182,8 @@ TRAINER_WORKER = textwrap.dedent("""
         config=config, state=state,
         train_step=jax.jit(make_train_step(gen, disc, criterion, config, tx, tx)),
         eval_step=jax.jit(make_eval_step(gen, disc, criterion, config)),
-        schedulers={"generator": ConstantLR(1e-3),
-                    "discriminator": ConstantLR(1e-3)},
+        schedulers={"generator": ConstantLR(1e-3, factor=1.0),
+                    "discriminator": ConstantLR(1e-3, factor=1.0)},
         data_loader={"train": batches(8), "dev": batches(2)},
         outdir=outdir, mesh=mesh, steps=0, writer=False or None)
     trainer.run()

@@ -69,6 +69,17 @@ def test_unknown_optimizer_is_loud():
         build_optimizer("LBFGS", {})
 
 
+def test_unknown_optimizer_param_is_loud():
+    """Typo'd or unimplemented YAML optimizer params must not be silently
+    ignored (torch.optim.Adam rejects unexpected kwargs too)."""
+    from articulatory_tpu.train.optimizers import build_optimizer
+
+    with pytest.raises(TypeError, match="b1"):
+        build_optimizer("Adam", {"b1": 0.5, "b2": 0.9})
+    with pytest.raises(TypeError, match="amsgrad"):
+        build_optimizer("Adam", {"betas": (0.5, 0.9), "amsgrad": True})
+
+
 def _torch_lr_trajectory(sched_name, sched_params, base_lr, n_steps,
                          plateau_metrics=None):
     w = torch.zeros(1, requires_grad=True)
@@ -113,6 +124,7 @@ def _our_lr_trajectory(sched_name, sched_params, base_lr, n_steps,
     ("LinearLR", {"start_factor": 0.1, "end_factor": 1.0,
                   "total_iters": 12}, 20),
     ("ConstantLR", {"factor": 0.5, "total_iters": 4}, 10),
+    ("ConstantLR", {}, 10),  # torch defaults: factor=1/3, total_iters=5
 ])
 def test_scheduler_parity(name, params, steps):
     base_lr = 1e-3

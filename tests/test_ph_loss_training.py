@@ -58,7 +58,7 @@ def test_ph_loss_train_step(rng):
 
     vg = gen.init(key, c)
     vd = disc.init({"params": key, "window": key}, y)
-    tx = build_optimizer("Adam", {"b1": 0.5, "b2": 0.9})
+    tx = build_optimizer("Adam", {"betas": (0.5, 0.9)})
     state = GANTrainState(params_g=vg["params"], params_d=vd["params"],
                           opt_g=tx.init(vg["params"]),
                           opt_d=tx.init(vd["params"]),

@@ -43,6 +43,34 @@ def test_time_sharded_forward_and_grad(rng):
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_sp_pads_non_divisible_lengths(rng):
+    """enable_sequence_parallel on an utterance whose frame count is NOT a
+    multiple of the device count: LoadedModel pads T up and trims the
+    output (device_put with a time sharding needs even divisibility —
+    previously this crashed with 'global size ... should be divisible')."""
+    from articulatory_tpu.inference import LoadedModel
+
+    gen = HiFiGANGenerator(
+        in_channels=13, channels=16, upsample_scales=(5, 4),
+        upsample_kernel_sizes=(10, 8), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),))
+    v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 13)))
+    model = LoadedModel(model=gen, params=v["params"],
+                        config={"generator_params": {"out_channels": 1}},
+                        mutables={})
+    c = rng.standard_normal((37, 13)).astype(np.float32)  # 37 % 4 != 0
+    exact = model.inference(c)
+
+    model.enable_sequence_parallel(4)
+    sp = model.inference(c)
+    assert sp.shape == exact.shape
+    # padding only perturbs the trailing receptive-field window
+    rf_out = 1000
+    np.testing.assert_allclose(sp[: len(exact) - rf_out],
+                               exact[: len(exact) - rf_out],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_decode_cli_sequence_parallel(tmp_path, monkeypatch, rng):
     """--sequence-parallel N through bin/decode: same wavs as unsharded."""
     import os

@@ -118,3 +118,34 @@ def test_build_datasets_accepts_10f0_config(tmp_path, monkeypatch, rng):
     train_ds, dev_ds, *_ = build_datasets(Args(), config)
     mel, art = train_ds[0]
     assert mel.shape[1] == 24 and art.shape[1] == 13
+
+
+def test_build_datasets_10f0_a2w_never_touches_audio(tmp_path, monkeypatch,
+                                                     rng):
+    """a2w (SpeechDataset) with a bare ``transform: "10*f0"``: the art-only
+    transform must scale the art INPUT and leave the 1-D audio OUTPUT alone
+    (previously the output_transform default applied it to audio ->
+    IndexError on the first item)."""
+    arts = _make_corpus(tmp_path, rng)
+    monkeypatch.chdir(str(tmp_path))
+    from articulatory_tpu.bin.train import build_datasets
+
+    class Args:
+        train_dumpdir = "dump/tr_set/norm"
+        dev_dumpdir = "dump/tr_set/norm"
+        data_root = "data"
+
+    config = {
+        "format": "hdf5", "dataset_mode": "a2w", "transform": "10*f0",
+        "batch_max_steps": 800, "hop_size": 80,
+        "generator_params": {"in_channels": 13, "out_channels": 1},
+        "allow_cache": False, "remove_short_samples": False,
+    }
+    train_ds, *_ = build_datasets(Args(), config)
+    items = train_ds[0]
+    uid = items["utt_id"] if "utt_id" in items else None
+    art, audio = items["art"], items["audio"]
+    assert audio.ndim == 1  # untouched waveform
+    key = uid or sorted(arts)[0]
+    np.testing.assert_allclose(art[:, 0], arts[key][:, 0] * 10, rtol=1e-6)
+    np.testing.assert_allclose(art[:, 1:], arts[key][:, 1:], rtol=1e-6)

@@ -103,23 +103,8 @@ python3 -m articulatory_tpu.bin.compute_mcd --gen-dir out_hybrid \
 # variant whose (a) divergence is ~the cone and (b) ground-truth MCD is
 # within the 0.1 dB budget of f32's is numerically indistinguishable from
 # an f32 decode; one outside the cone genuinely degrades.
-python3 - <<'EOF'
-import numpy as np, flax, jax
-from articulatory_tpu.utils.checkpoint import load_checkpoint
-import sys, os
-steps = os.environ.get("STEPS_ENV")
-ck = sorted(p for p in os.listdir('exp/ab') if p.startswith('checkpoint-')
-            and p.endswith('steps.ckpt'))[-1]
-p = load_checkpoint(f'exp/ab/{ck}')
-ulp = np.float32(1.0 + 2.0 ** -23)
-p['model']['generator'] = jax.tree.map(
-    lambda a: (a * ulp).astype(a.dtype)
-    if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
-    p['model']['generator'])
-with open('exp/ab/ulp_control.ckpt', 'wb') as f:
-    f.write(flax.serialization.msgpack_serialize(p))
-print(f'wrote 1-ulp perturbed {ck}')
-EOF
+# perturb the SAME checkpoint the f32/bf16/hybrid arms decode
+python3 "$REPO/tools/perturb_ckpt.py" "$CKPT" exp/ab/ulp_control.ckpt
 python3 -m articulatory_tpu.bin.decode \
     --feats-scp corpus/data/dev_set/feats.scp \
     --checkpoint exp/ab/ulp_control.ckpt \

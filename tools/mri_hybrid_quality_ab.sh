@@ -46,19 +46,7 @@ python3 -m articulatory_tpu.bin.decode \
 echo "== hybrid decode RTF:"; tail -2 decode_hybrid.log
 
 # 1-ulp noise-cone control (chunked-AR decode is chaotic; see DESIGN.md §7)
-python3 - "$CKPT" << 'EOF'
-import numpy as np, flax, jax, sys
-from articulatory_tpu.utils.checkpoint import load_checkpoint
-p = load_checkpoint(sys.argv[1])
-ulp = np.float32(1.0 + 2.0 ** -23)
-p['model']['generator'] = jax.tree.map(
-    lambda a: (a * ulp).astype(a.dtype)
-    if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
-    p['model']['generator'])
-with open('ulp_control.ckpt', 'wb') as f:
-    f.write(flax.serialization.msgpack_serialize(p))
-print('wrote 1-ulp perturbed checkpoint')
-EOF
+python3 "$REPO/tools/perturb_ckpt.py" "$CKPT" ulp_control.ckpt
 python3 -m articulatory_tpu.bin.decode \
     --feats-scp corpus/data/dev_set/feats.scp --checkpoint ulp_control.ckpt \
     --config exp/mri/config.yml --outdir out_f32ulp 2> decode_f32ulp.log \
