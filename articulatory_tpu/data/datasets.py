@@ -146,7 +146,11 @@ class SpeechDataset:
             self.ph_files = [fid_to_php[fid] for fid in self.utt_ids]
 
         self.input_transform = input_transform if input_transform is not None else transform
-        self.output_transform = output_transform if output_transform is not None else transform
+        # No None -> ``transform`` fallback here (deliberate divergence from
+        # reference audio_mel_dataset.py:465): bin/train.py owns the
+        # defaulting and keeps art-only transforms (e.g. "10*f0") off the
+        # 1-D audio output — the reference would crash on that config.
+        self.output_transform = output_transform
         self.return_utt_id = return_utt_id
         self.allow_cache = allow_cache
         self.caches: dict[int, dict] = {}
