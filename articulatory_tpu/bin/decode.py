@@ -49,6 +49,19 @@ def main():
                         help="batch N utterances through the AR loop "
                              "(throughput mode for a2w; 1 = reference-exact "
                              "sequential decode)")
+    parser.add_argument("--ar-scan", default=False, action="store_true",
+                        help="run chunked-AR decode as ONE compiled "
+                             "lax.scan dispatch per utterance instead of a "
+                             "host loop (latency mode; removes the "
+                             "per-chunk dispatch+sync roundtrip). First use "
+                             "pays a one-time scan compile, amortized by "
+                             "the persistent compilation cache. Ignored for "
+                             "wsola / multimodal / non-AR decodes.")
+    parser.add_argument("--ar-scan-bucket", default=4, type=int,
+                        help="with --ar-scan, round the per-utterance chunk "
+                             "count up to this multiple so arbitrary "
+                             "lengths share compiled executables (0 = "
+                             "exact chunk count, one compile per length)")
     parser.add_argument("--sequence-parallel", default=0, type=int,
                         help="shard the TIME axis of full-utterance (non-AR) "
                              "inference over N devices (parallel/sp.py); "
@@ -186,6 +199,16 @@ def main():
             f"(effective RTF {total_time / max(total_len, 1e-9):.6f}).")
         return
 
+    use_scan = bool(getattr(args, "ar_scan", False))
+    if use_scan and not (use_ar and is_wave and not do_wsola
+                         and dataset_mode not in ("a2w_mult", "a2w_pcd")):
+        logging.warning("--ar-scan ignored: the compiled scan path covers "
+                        "plain chunked-AR wave decode (no wsola/multimodal/"
+                        "non-AR).")
+        use_scan = False
+    if use_scan:
+        from articulatory_tpu.inference import ar_loop_scan
+
     total_rtf = 0.0
     total_time = 0.0
     total_len = 0.0
@@ -201,7 +224,10 @@ def main():
                 c = np.asarray(c, np.float32)
             start = time.time()
             if is_wave:
-                if use_ar:
+                if use_scan and modality is None:
+                    out = ar_loop_scan(model, c, config,
+                                       chunk_bucket=args.ar_scan_bucket)
+                elif use_ar:
                     out = ar_loop(model, c, config, do_wsola=do_wsola,
                                   modality=modality)
                 else:

@@ -396,28 +396,21 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict
             else wav[i, : lengths[i] * hop] for i in range(b)]
 
 
-def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict) -> np.ndarray:
-    """Fully-compiled AR decode: pad to whole chunks and lax.scan over them.
+def _get_scan_fn(model, past_out_len: int, out_channels: int):
+    """One jitted scan body per (model, carry signature).
 
-    Matches ``ar_loop`` on all complete chunks; the tail beyond the original
-    length is trimmed. Preferred for benchmarking/serving (single dispatch).
+    Cached on the model object so repeated calls (decode CLI over a corpus,
+    a serving loop) reuse the same jit closure — jax.jit then handles
+    per-chunk-shape executables internally, and the persistent compilation
+    cache makes those one-time costs survive process restarts.
     """
-    gp = config["generator_params"]
-    hop = config["hop_size"]
-    audio_chunk_len = config["batch_max_steps"]
-    in_chunk_len = audio_chunk_len // hop
-    past_out_len = gp.get("ar_input", 512)
-    out_channels = gp.get("out_channels", 1)
-    assert past_out_len <= audio_chunk_len, "shift-register path not scanned yet"
-
-    x = np.asarray(x, np.float32)
-    if x.ndim == 1:
-        x = x[:, None]
-    t = len(x)
-    n_chunks = -(-t // in_chunk_len)
-    pad = n_chunks * in_chunk_len - t
-    xp = np.pad(x, ((0, pad), (0, 0)))
-    chunks = jnp.asarray(xp.reshape(n_chunks, in_chunk_len, x.shape[1]))
+    try:
+        cache = model.__dict__.setdefault("_ar_scan_cache", {})
+    except AttributeError:  # exotic shims without __dict__
+        cache = {}
+    key = (past_out_len, out_channels)
+    if key in cache:
+        return cache[key]
 
     @jax.jit
     def run(params, chunks):
@@ -426,11 +419,59 @@ def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict) -> np.ndarray:
                                     cin[None], ar=prev)
             if isinstance(out, tuple):
                 out = out[0]
-            return out[:, -past_out_len:, :], out[0]
+            if past_out_len <= out.shape[1]:
+                new_prev = out[:, -past_out_len:, :]
+            else:
+                # shift register (reference decode.py:79-81): the AR window
+                # spans several chunks — slide the old window left by one
+                # chunk's output and append the new chunk
+                new_prev = jnp.concatenate([prev[:, out.shape[1]:, :], out],
+                                           axis=1)
+            return new_prev, out[0]
 
         prev0 = jnp.zeros((1, past_out_len, out_channels), jnp.float32)
         _, outs = jax.lax.scan(body, prev0, chunks)
         return outs.reshape(-1, outs.shape[-1])
 
+    cache[key] = run
+    return run
+
+
+def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict,
+                 chunk_bucket: int = 0) -> np.ndarray:
+    """Fully-compiled AR decode: pad to whole chunks and lax.scan over them.
+
+    Matches ``ar_loop`` on all complete chunks (both AR-carry regimes:
+    last-window and the shift-register case ``ar_input > batch_max_steps``);
+    the tail beyond the original length is trimmed. Preferred for
+    serving/benchmarking: ONE device dispatch per utterance instead of one
+    per chunk, which removes the per-chunk dispatch+sync roundtrip that
+    dominates single-stream latency (reference serial loop:
+    decode.py:31-100).
+
+    ``chunk_bucket``: round the chunk count up to this multiple so arbitrary
+    utterance lengths share a small set of compiled executables (same idea
+    as ``LoadedModel.inference(bucket_frames=...)``); the padded tail is
+    computed and discarded. 0 = exact chunk count.
+    """
+    gp = config["generator_params"]
+    hop = config["hop_size"]
+    audio_chunk_len = config["batch_max_steps"]
+    in_chunk_len = audio_chunk_len // hop
+    past_out_len = gp.get("ar_input", 512)
+    out_channels = gp.get("out_channels", 1)
+
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    t = len(x)
+    n_chunks = -(-t // in_chunk_len)
+    if chunk_bucket:
+        n_chunks = -(-n_chunks // chunk_bucket) * chunk_bucket
+    pad = n_chunks * in_chunk_len - t
+    xp = np.pad(x, ((0, pad), (0, 0)))
+    chunks = jnp.asarray(xp.reshape(n_chunks, in_chunk_len, x.shape[1]))
+
+    run = _get_scan_fn(model, past_out_len, out_channels)
     out = np.asarray(run(model.params, chunks))
     return out[: t * hop, 0] if out.shape[1] == 1 else out[: t * hop]

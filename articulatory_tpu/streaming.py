@@ -8,6 +8,14 @@ forward each — constant memory and latency per chunk regardless of stream
 length (reference semantics: decode.py:31-82).
 
 Batched streams (one AR state per lane) serve many clients from one chip.
+
+Latency notes (axon relay: ~30 ms dispatch+sync roundtrip):
+- ``synthesize`` pipelines dispatch ``pipeline_depth`` chunks ahead of the
+  host readback, hiding the roundtrip behind compute for all but the first
+  chunk.
+- ``synthesize_all`` runs the whole known stream as ONE compiled lax.scan
+  dispatch (shares ``inference.ar_loop_scan``'s cached executables) — the
+  lowest-latency path when the full feature stream is available up front.
 """
 
 from __future__ import annotations
@@ -18,19 +26,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from articulatory_tpu.inference import LoadedModel
+from articulatory_tpu.inference import LoadedModel, ar_loop_scan
 
 
 class StreamingSynthesizer:
     def __init__(self, model: LoadedModel, config: dict, batch: int = 1):
         gp = config["generator_params"]
         self.model = model
+        self.config = config
         self.hop = config["hop_size"]
-        self.chunk_frames = config["batch_max_steps"] // self.hop
+        self.chunk_len = config["batch_max_steps"]
+        self.chunk_frames = self.chunk_len // self.hop
         self.ar_input = gp.get("ar_input", 512)
         self.out_channels = gp.get("out_channels", 1)
-        assert self.ar_input <= config["batch_max_steps"], \
-            "shift-register AR not supported in streaming mode"
+        # shift-register AR (ar_input > chunk): the window spans several
+        # chunks; the carry slides left by one chunk's output per step
+        # (reference decode.py:79-81)
+        self.shift_register = self.ar_input > self.chunk_len
         assert self.out_channels == 1 or not config.get("pqmf", False), \
             "multiband (PQMF) generators not supported in streaming mode; " \
             "use LoadedModel.inference / batched decode"
@@ -51,6 +63,7 @@ class StreamingSynthesizer:
     def _fwd(self):
         model = self.model
         ar_input = self.ar_input  # must match self._prev's reset shape
+        shift_register = self.shift_register
 
         @jax.jit
         def fwd(params, cin, prev):
@@ -58,7 +71,12 @@ class StreamingSynthesizer:
                                     cin, ar=prev)
             if isinstance(out, tuple):
                 out = out[0]
-            return out, out[:, -ar_input:, :]
+            if shift_register:
+                new_prev = jnp.concatenate([prev[:, out.shape[1]:, :], out],
+                                           axis=1)
+            else:
+                new_prev = out[:, -ar_input:, :]
+            return out, new_prev
 
         return fwd
 
@@ -67,6 +85,13 @@ class StreamingSynthesizer:
 
         Returns (batch, chunk_frames * hop, out_channels) audio samples.
         """
+        out = self.dispatch_chunk(feats)
+        return np.asarray(out)
+
+    def dispatch_chunk(self, feats: np.ndarray) -> jax.Array:
+        """Like ``synthesize_chunk`` but returns the device array WITHOUT
+        waiting for it — the caller controls when to pay the host-readback
+        sync (pipelined serving)."""
         feats = np.asarray(feats, np.float32)
         if feats.ndim == 2:
             feats = feats[None]
@@ -75,18 +100,37 @@ class StreamingSynthesizer:
             f"streaming chunks must be {self.chunk_frames} frames"
         out, self._prev = self._fwd(self.model.params, jnp.asarray(feats),
                                     self._prev)
-        return np.asarray(out)
+        return out
 
-    def synthesize(self, feats: np.ndarray):
+    def synthesize(self, feats: np.ndarray, pipeline_depth: int = 2):
         """Generator over a full (T, C) stream, yielding per-chunk audio.
 
-        The trailing partial chunk is zero-padded and trimmed (same contract
-        as batched decode)."""
+        Keeps ``pipeline_depth`` chunk forwards in flight before each host
+        readback, so the device computes chunk i+1 while the host consumes
+        chunk i. The trailing partial chunk is zero-padded and trimmed (same
+        contract as batched decode)."""
         t = len(feats)
         pad = (-t) % self.chunk_frames
         if pad:
             feats = np.pad(feats, ((0, pad), (0, 0)))
-        for i in range(0, len(feats), self.chunk_frames):
-            audio = self.synthesize_chunk(feats[i:i + self.chunk_frames])[0]
-            valid = min(self.chunk_frames, t - i) * self.hop
-            yield audio[:valid]
+        starts = list(range(0, len(feats), self.chunk_frames))
+        inflight: list[tuple[int, jax.Array]] = []
+        for i in starts:
+            inflight.append(
+                (i, self.dispatch_chunk(feats[i:i + self.chunk_frames])))
+            if len(inflight) > max(pipeline_depth, 1):
+                j, out = inflight.pop(0)
+                yield np.asarray(out[0])[: min(self.chunk_frames, t - j)
+                                         * self.hop]
+        for j, out in inflight:
+            yield np.asarray(out[0])[: min(self.chunk_frames, t - j)
+                                     * self.hop]
+
+    def synthesize_all(self, feats: np.ndarray) -> np.ndarray:
+        """Whole known (T, C) stream -> (T * hop,) audio in ONE compiled
+        lax.scan dispatch (batch=1 lanes only). Matches the concatenation of
+        ``synthesize`` chunks; shares ``ar_loop_scan``'s per-model compiled
+        executables with bin/decode --ar-scan."""
+        assert self.batch == 1, "synthesize_all is a single-lane path"
+        return ar_loop_scan(self.model, np.asarray(feats, np.float32),
+                            self.config)

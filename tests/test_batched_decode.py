@@ -74,3 +74,49 @@ def test_scan_matches_sequential(rng):
         assert len(y_scan) == t * 80
         np.testing.assert_allclose(y_scan[:n_full], y_seq[:n_full],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_scan_shift_register_matches_sequential(rng):
+    """ar_input > batch_max_steps: the scan carry must slide like the
+    reference's multi-chunk shift register (decode.py:79-81)."""
+    model = HiFiGANGenerator(
+        in_channels=13 + 8, channels=16, upsample_scales=(5, 4, 2, 2),
+        upsample_kernel_sizes=(10, 8, 4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), use_ar=True, ar_input=2000, ar_hidden=8,
+        ar_output=8)
+    c0 = jnp.zeros((1, 10, 13))
+    v = model.init(jax.random.PRNGKey(0), c0, ar=jnp.zeros((1, 2000, 1)))
+    shim = _Shim(model, v["params"])
+
+    config = {"dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+              "generator_params": {"out_channels": 1, "use_ar": True,
+                                   "ar_input": 2000}}
+    from articulatory_tpu.inference import ar_loop_scan
+
+    x = rng.standard_normal((50, 13)).astype(np.float32)  # 5 full chunks
+    y_scan = ar_loop_scan(shim, x, config)
+    y_seq = np.asarray(ar_loop(shim, x, config))
+    assert y_scan.shape == y_seq.shape
+    np.testing.assert_allclose(y_scan, y_seq, rtol=1e-4, atol=1e-5)
+
+
+def test_scan_chunk_bucket_identical(rng):
+    """Bucketing the chunk count only pads discarded tail chunks — the
+    retained output must be bit-identical to the exact-count scan."""
+    model = HiFiGANGenerator(
+        in_channels=13 + 8, channels=16, upsample_scales=(5, 4, 2, 2),
+        upsample_kernel_sizes=(10, 8, 4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), use_ar=True, ar_input=64, ar_hidden=8,
+        ar_output=8)
+    c0 = jnp.zeros((1, 10, 13))
+    v = model.init(jax.random.PRNGKey(0), c0, ar=jnp.zeros((1, 64, 1)))
+    shim = _Shim(model, v["params"])
+    config = {"dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+              "generator_params": {"out_channels": 1, "use_ar": True,
+                                   "ar_input": 64}}
+    from articulatory_tpu.inference import ar_loop_scan
+
+    x = rng.standard_normal((27, 13)).astype(np.float32)
+    exact = ar_loop_scan(shim, x, config, chunk_bucket=0)
+    bucketed = ar_loop_scan(shim, x, config, chunk_bucket=4)
+    np.testing.assert_array_equal(exact, bucketed)
