@@ -30,7 +30,7 @@ def main():
     enable_compilation_cache()
     import jax.numpy as jnp
 
-    from articulatory_tpu.inference import ar_loop, ar_loop_batched
+    from articulatory_tpu.inference import ar_loop, ar_loop_batched, ar_loop_scan
     from articulatory_tpu.models import HiFiGANGenerator
 
     hop, sr = 80, 16000
@@ -74,6 +74,17 @@ def main():
     el = time.perf_counter() - start
     rtf = el / args.seconds
     print(f"single-stream CAR decode: RTF {rtf:.3f} "
+          f"({1 / rtf:.0f}x realtime) for a {args.seconds:.0f}s utterance")
+
+    # single stream, compiled scan (one dispatch for the whole utterance)
+    y_scan = ar_loop_scan(shim, x, config)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y),
+                               rtol=1e-4, atol=1e-4)
+    start = time.perf_counter()
+    y_scan = ar_loop_scan(shim, x, config)
+    el = time.perf_counter() - start
+    rtf = el / args.seconds
+    print(f"single-stream CAR decode (--ar-scan): RTF {rtf:.4f} "
           f"({1 / rtf:.0f}x realtime) for a {args.seconds:.0f}s utterance")
 
     # batched streams
