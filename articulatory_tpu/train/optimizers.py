@@ -116,17 +116,72 @@ def _scale_by_torch_adamax(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _scale_by_torch_nadam(b1: float = 0.9, b2: float = 0.999,
+                          eps: float = 1e-8, momentum_decay: float = 4e-3
+                          ) -> optax.GradientTransformation:
+    """torch.optim.NAdam scaling (single-tensor path): Nesterov momentum
+    schedule ``mu_t = b1*(1 - 0.5*0.96^(t*psi))`` with the running
+    ``mu_product``; update =
+    ``((1-mu_t)/(1-mu_prod) * g + mu_{t+1}/(1-mu_prod*mu_{t+1}) * m) /
+    (sqrt(v/(1-b2^t)) + eps)``."""
+
+    def init_fn(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return {"m": z, "v": jax.tree.map(jnp.zeros_like, params),
+                "mu_product": jnp.ones([], jnp.float32),
+                "count": jnp.zeros([], jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state["count"] + 1
+        t = count.astype(jnp.float32)
+        mu = b1 * (1.0 - 0.5 * 0.96 ** (t * momentum_decay))
+        mu_next = b1 * (1.0 - 0.5 * 0.96 ** ((t + 1.0) * momentum_decay))
+        mu_product = state["mu_product"] * mu
+        m = jax.tree.map(lambda g, m_: b1 * m_ + (1 - b1) * g,
+                         updates, state["m"])
+        v = jax.tree.map(lambda g, v_: b2 * v_ + (1 - b2) * g * g,
+                         updates, state["v"])
+        bc2 = 1.0 - b2 ** t
+
+        def upd(g, m_, v_):
+            denom = jnp.sqrt(v_ / bc2) + eps
+            return ((1.0 - mu) / (1.0 - mu_product) * g
+                    + mu_next / (1.0 - mu_product * mu_next) * m_) / denom
+
+        updates = jax.tree.map(upd, updates, m, v)
+        return updates, {"m": m, "v": v, "mu_product": mu_product,
+                         "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+# torch.optim kwargs that are pure no-ops at their defaults (implementation
+# switches or unimplemented-at-default features); a YAML ported verbatim
+# from torch that spells these out must not crash (advisor round 3)
+_NOOP_KWARG_DEFAULTS = {
+    "amsgrad": False, "maximize": False, "foreach": None, "fused": None,
+    "capturable": False, "differentiable": False, "decoupled_weight_decay":
+    False,
+}
+
+
 def build_optimizer(name: str, params: dict | None = None,
                     grad_norm: float = -1) -> optax.GradientTransformation:
     """Build the lr-free part of the update: [clip] -> optimizer scaling.
 
     Accepts the torch.optim names the reference resolves from YAML
-    (reference bin/train.py:1750-1759): Adam, RAdam, AdamW, SGD, RMSprop,
-    Adagrad, Adadelta, Adamax. Remaining torch names (NAdam, ASGD, LBFGS,
+    (reference bin/train.py:1750-1759): Adam, RAdam, AdamW, NAdam, SGD,
+    RMSprop, Adagrad, Adadelta, Adamax. Remaining torch names (ASGD, LBFGS,
     Rprop, SparseAdam) are documented as unsupported in docs/MIGRATION.md.
     """
     params = dict(params or {})
     params.pop("lr", None)  # lr is injected per-step by the trainer
+    # drop torch kwargs that are no-ops at their defaults; non-default
+    # values still fall through to the loud rejection below
+    for key in _NOOP_KWARG_DEFAULTS:
+        if key in params and not params[key]:  # falsy == torch-default no-op
+            params.pop(key)
     chain = []
     if grad_norm and grad_norm > 0:
         chain.append(optax.clip_by_global_norm(grad_norm))
@@ -186,10 +241,21 @@ def build_optimizer(name: str, params: dict | None = None,
             chain.append(optax.add_decayed_weights(wd))
         chain.append(_scale_by_torch_adamax(
             b1=b1, b2=b2, eps=params.pop("eps", 1e-8)))
+    elif name == "NAdam":
+        b1, b2 = params.pop("betas", (0.9, 0.999))
+        # truthy only: a falsy value was already dropped as a no-op above
+        decoupled = bool(params.pop("decoupled_weight_decay", False))
+        if wd and not decoupled:  # torch default: L2-in-gradient
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(_scale_by_torch_nadam(
+            b1=b1, b2=b2, eps=params.pop("eps", 1e-8),
+            momentum_decay=params.pop("momentum_decay", 4e-3)))
+        if wd and decoupled:  # AdamW-style, scaled by lr with the update
+            chain.append(optax.add_decayed_weights(wd))
     else:
         raise ValueError(
             f"Unsupported optimizer: {name}. Supported torch names: Adam, "
-            "RAdam, AdamW, SGD, RMSprop, Adagrad, Adadelta, Adamax "
+            "RAdam, AdamW, NAdam, SGD, RMSprop, Adagrad, Adadelta, Adamax "
             "(see docs/MIGRATION.md).")
     if params:
         raise TypeError(

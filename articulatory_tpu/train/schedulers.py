@@ -148,6 +148,72 @@ class CyclicLR(_Scheduler):
         self.lr = self.base_lr + (self.max_lr - self.base_lr) * x * scale
 
 
+class OneCycleLR(_Scheduler):
+    """torch semantics: warm up from ``max_lr/div_factor`` to ``max_lr``
+    over ``pct_start`` of the run, then anneal to
+    ``max_lr/div_factor/final_div_factor`` (cos or linear; optional
+    three-phase). Overrides the optimizer lr, like torch.
+
+    ``cycle_momentum`` (torch default True) is accepted but ignored: this
+    trainer feeds only the lr into the jitted step; momentum lives in the
+    optax chain. A torch run with a momentum-bearing optimizer (SGD
+    momentum / Adam betas) would additionally cycle that coefficient —
+    documented divergence (docs/MIGRATION.md).
+    """
+
+    def __init__(self, optimizer_lr: float, max_lr: float,
+                 total_steps: int | None = None, epochs: int | None = None,
+                 steps_per_epoch: int | None = None, pct_start: float = 0.3,
+                 anneal_strategy: str = "cos", div_factor: float = 25.0,
+                 final_div_factor: float = 1e4, three_phase: bool = False,
+                 cycle_momentum: bool = True, base_momentum: float = 0.85,
+                 max_momentum: float = 0.95):
+        super().__init__(optimizer_lr)
+        del cycle_momentum, base_momentum, max_momentum  # see docstring
+        if total_steps is None:
+            if epochs is None or steps_per_epoch is None:
+                raise ValueError(
+                    "OneCycleLR needs total_steps or epochs+steps_per_epoch")
+            total_steps = epochs * steps_per_epoch
+        assert anneal_strategy in ("cos", "linear")
+        self.total_steps = total_steps
+        self.anneal_strategy = anneal_strategy
+        initial_lr = max_lr / div_factor
+        min_lr = initial_lr / final_div_factor
+        # (end_step, start_lr, end_lr) — torch's _schedule_phases
+        if three_phase:
+            self.phases = [
+                (float(pct_start * total_steps) - 1, initial_lr, max_lr),
+                (float(2 * pct_start * total_steps) - 2, max_lr, initial_lr),
+                (total_steps - 1, initial_lr, min_lr),
+            ]
+        else:
+            self.phases = [
+                (float(pct_start * total_steps) - 1, initial_lr, max_lr),
+                (total_steps - 1, max_lr, min_lr),
+            ]
+        self.lr = initial_lr  # value at step 0 (torch last_epoch=0)
+
+    def _anneal(self, start: float, end: float, pct: float) -> float:
+        if self.anneal_strategy == "cos":
+            return end + (start - end) / 2.0 * (1 + math.cos(math.pi * pct))
+        return (end - start) * pct + start
+
+    def _update(self, metric):
+        t = self.step_count
+        if t > self.total_steps:
+            raise ValueError(
+                f"Tried to step {t} times; OneCycleLR total_steps="
+                f"{self.total_steps} (torch raises here too)")
+        start_step = 0.0
+        for end_step, start_lr, end_lr in self.phases:
+            if t <= end_step or end_step == self.phases[-1][0]:
+                pct = (t - start_step) / (end_step - start_step)
+                self.lr = self._anneal(start_lr, end_lr, pct)
+                break
+            start_step = end_step
+
+
 class MultiStepLR(_Scheduler):
     def __init__(self, base_lr: float, milestones: Sequence[int], gamma: float = 0.1):
         super().__init__(base_lr)
@@ -249,6 +315,7 @@ def build_scheduler(name: str, base_lr: float, params: dict | None = None):
         "CosineAnnealingLR": CosineAnnealingLR,
         "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
         "CyclicLR": CyclicLR,
+        "OneCycleLR": OneCycleLR,
     }
     if name not in registry:
         raise ValueError(

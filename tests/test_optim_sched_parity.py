@@ -51,6 +51,10 @@ def _run_torch(name, opt_params, w0, grads_seq, lr):
     ("Adadelta", {"rho": 0.8, "eps": 1e-5, "weight_decay": 0.01}),
     ("Adamax", {}),
     ("Adamax", {"betas": [0.8, 0.99], "eps": 1e-7, "weight_decay": 0.01}),
+    ("NAdam", {}),
+    ("NAdam", {"betas": [0.8, 0.99], "eps": 1e-7, "weight_decay": 0.01}),
+    ("NAdam", {"momentum_decay": 0.01}),
+    ("NAdam", {"weight_decay": 0.02, "decoupled_weight_decay": True}),
 ])
 def test_optimizer_parity(name, params, rng):
     w0 = rng.standard_normal(16).astype(np.float32)
@@ -78,6 +82,19 @@ def test_unknown_optimizer_param_is_loud():
         build_optimizer("Adam", {"b1": 0.5, "b2": 0.9})
     with pytest.raises(TypeError, match="amsgrad"):
         build_optimizer("Adam", {"betas": (0.5, 0.9), "amsgrad": True})
+
+
+def test_noop_torch_default_kwargs_tolerated():
+    """A YAML ported verbatim from torch that spells out default no-op
+    switches (amsgrad: false, maximize: false, foreach: null...) must build
+    identically instead of crashing (advisor round 3)."""
+    from articulatory_tpu.train.optimizers import build_optimizer
+
+    build_optimizer("Adam", {"betas": (0.9, 0.999), "amsgrad": False,
+                             "maximize": False, "foreach": None,
+                             "fused": None, "capturable": False,
+                             "differentiable": False})
+    build_optimizer("NAdam", {"decoupled_weight_decay": False})
 
 
 def _torch_lr_trajectory(sched_name, sched_params, base_lr, n_steps,
@@ -125,6 +142,13 @@ def _our_lr_trajectory(sched_name, sched_params, base_lr, n_steps,
                   "total_iters": 12}, 20),
     ("ConstantLR", {"factor": 0.5, "total_iters": 4}, 10),
     ("ConstantLR", {}, 10),  # torch defaults: factor=1/3, total_iters=5
+    ("OneCycleLR", {"max_lr": 1e-2, "total_steps": 30}, 30),
+    ("OneCycleLR", {"max_lr": 1e-2, "total_steps": 40, "pct_start": 0.1,
+                    "anneal_strategy": "linear", "div_factor": 10.0,
+                    "final_div_factor": 100.0}, 40),
+    ("OneCycleLR", {"max_lr": 1e-2, "total_steps": 50,
+                    "three_phase": True, "pct_start": 0.2}, 50),
+    ("OneCycleLR", {"max_lr": 5e-3, "epochs": 4, "steps_per_epoch": 9}, 36),
 ])
 def test_scheduler_parity(name, params, steps):
     base_lr = 1e-3
@@ -139,7 +163,7 @@ def test_unknown_scheduler_is_loud():
     from articulatory_tpu.train.schedulers import build_scheduler
 
     with pytest.raises(ValueError, match="MIGRATION"):
-        build_scheduler("OneCycleLR", 1e-3, {"max_lr": 1.0})
+        build_scheduler("ChainedScheduler", 1e-3, {})
 
 
 def test_new_schedulers_checkpoint_roundtrip():
@@ -148,6 +172,7 @@ def test_new_schedulers_checkpoint_roundtrip():
     for name, params in [
         ("CosineAnnealingWarmRestarts", {"T_0": 5, "T_mult": 2}),
         ("CyclicLR", {"base_lr": 1e-4, "max_lr": 1e-2, "step_size_up": 3}),
+        ("OneCycleLR", {"max_lr": 1e-2, "total_steps": 40}),
     ]:
         a = build_scheduler(name, 1e-3, dict(params))
         for _ in range(7):
