@@ -66,7 +66,11 @@ def main():
                         help="shard the TIME axis of full-utterance (non-AR) "
                              "inference over N devices (parallel/sp.py); "
                              "bounds per-device activation memory on very "
-                             "long utterances. Ignored for AR models.")
+                             "long utterances. Ignored for AR models. "
+                             "Lengths not divisible by N are zero-padded "
+                             "and trimmed: only the final receptive-field "
+                             "window can differ marginally from unsharded "
+                             "inference.")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
     set_logging(args.verbose)

@@ -176,6 +176,25 @@ def _masked_update(mask: Array, new_tree, old_tree):
     return jax.tree.map(lambda n, o: jnp.where(mask, n, o), new_tree, old_tree)
 
 
+def _check_fuse_disc(config: dict) -> bool:
+    """Gate ``fuse_disc_passes`` to window-free discriminators.
+
+    A random-window discriminator (StyleMelGAN) draws FRESH windows for the
+    real and fake passes in the reference (style_melgan.py:333); the fused
+    [real; fake] forward necessarily scores both over the SAME windows,
+    silently changing training semantics — refuse instead of relying on a
+    comment (advisor round 3).
+    """
+    fuse = bool(config.get("fuse_disc_passes", False))
+    if fuse and "StyleMelGAN" in str(config.get("discriminator_type", "")):
+        raise ValueError(
+            "fuse_disc_passes=true is incompatible with random-window "
+            "discriminators (StyleMelGANDiscriminator draws fresh windows "
+            "per pass; the fused pass would share one window RNG across "
+            "real and fake). Disable fuse_disc_passes for this config.")
+    return fuse
+
+
 def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
                     tx_g: optax.GradientTransformation,
                     tx_d: optax.GradientTransformation,
@@ -197,7 +216,7 @@ def make_train_step(gen, disc, criterion: GANCriterion, config: dict,
     # anyone enabling it: random-window discriminators (StyleMelGAN) draw
     # FRESH windows per call in the reference (style_melgan.py:333); the
     # fused pass scores real and fake over the SAME windows.
-    fuse_disc = bool(config.get("fuse_disc_passes", False))
+    fuse_disc = _check_fuse_disc(config)
 
     @jax.checkpoint
     def _remat_forward(params_g, x, spk_id, ar, ph, rng):
@@ -400,7 +419,7 @@ def make_eval_step(gen, disc, criterion: GANCriterion, config: dict,
     has_gen2 = gen2 is not None
     use_ar = config.get("generator_params", {}).get("use_ar", False)
     batch_max_steps = int(config.get("batch_max_steps", 0))
-    fuse_disc = bool(config.get("fuse_disc_passes", False))
+    fuse_disc = _check_fuse_disc(config)
 
     def generate(state, batch, rng):
         rngs = {"dropout": jax.random.fold_in(rng, 0),
