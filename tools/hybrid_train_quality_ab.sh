@@ -128,7 +128,7 @@ echo "== eval/mel_loss trajectories (steps: value f32 / hybrid / f32-1ulp) =="
 python3 - << 'EOF'
 import re
 def traj(path):
-    pat = re.compile(r"\(Steps: (\d+)\) eval/mel_loss = ([0-9.]+)")
+    pat = re.compile(r"\(Steps: (\d+)\) eval/mel_loss = ([0-9]+\.[0-9]+)")
     return {int(m.group(1)): float(m.group(2))
             for m in map(pat.search, open(path)) if m}
 t = {n: traj(f"train_{n}.log") for n in ("f32", "hybrid", "ulp")}
