@@ -520,6 +520,8 @@ def main(argv=None):
         GEN_CFG["ar_hidden"] = a.ar_hidden
     if a.ar_output is not None:
         GEN_CFG["ar_output"] = a.ar_output
+        # the AR-context vector is concatenated onto the features
+        GEN_CFG["in_channels"] = N_FEATS + a.ar_output
     if a.time_packing and a.time_packing != "auto":
         a.time_packing = [int(x) for x in str(a.time_packing).split(",")]
 
