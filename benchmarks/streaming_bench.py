@@ -51,6 +51,37 @@ def main():
                          config=config, mutables={})
 
     rng = np.random.default_rng(0)
+
+    # single-stream serving latency, three disciplines (0.5 s audio/chunk):
+    #  - synced: host readback after EVERY chunk (interactive worst case)
+    #  - pipelined: synthesize(pipeline_depth=2) keeps 2 chunks in flight
+    #  - scan: synthesize_all, one dispatch for the whole known stream
+    syn1 = StreamingSynthesizer(loaded, config, batch=1)
+    feats = rng.standard_normal((100 * args.chunks, 13)).astype(np.float32)
+    for c in syn1.synthesize(feats):  # compile both paths
+        pass
+    _ = syn1.synthesize_all(feats[:100 * 2])  # compile scan (tiny)
+    syn1.reset()
+    start = time.perf_counter()
+    for i in range(args.chunks):
+        np.asarray(syn1.synthesize_chunk(feats[i * 100:(i + 1) * 100]))
+    ms = 1000 * (time.perf_counter() - start) / args.chunks
+    print(f"  1 stream,   synced: {ms:6.1f} ms/chunk "
+          f"({500 / ms:.1f}x realtime)")
+    syn1.reset()
+    start = time.perf_counter()
+    for _ in syn1.synthesize(feats, pipeline_depth=2):
+        pass
+    ms = 1000 * (time.perf_counter() - start) / args.chunks
+    print(f"  1 stream, pipelined: {ms:6.1f} ms/chunk "
+          f"({500 / ms:.1f}x realtime)")
+    _ = syn1.synthesize_all(feats)  # compile full length
+    start = time.perf_counter()
+    _ = syn1.synthesize_all(feats)
+    ms = 1000 * (time.perf_counter() - start) / args.chunks
+    print(f"  1 stream,      scan: {ms:6.1f} ms/chunk "
+          f"({500 / ms:.1f}x realtime)")
+
     streams = 1
     while streams <= args.max_streams:
         syn = StreamingSynthesizer(loaded, config, batch=streams)
