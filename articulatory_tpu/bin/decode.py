@@ -49,6 +49,11 @@ def main():
                         help="batch N utterances through the AR loop "
                              "(throughput mode for a2w; 1 = reference-exact "
                              "sequential decode)")
+    parser.add_argument("--int8-weights", default=False, action="store_true",
+                        help="decode with int8-quantized weights (symmetric "
+                             "per-out-channel; folds weight norm first). "
+                             "Quality-gated by tools/int8_quality_ab.sh — "
+                             "see docs/DESIGN.md §7 for the verdict.")
     parser.add_argument("--ar-scan", default=False, action="store_true",
                         help="run chunked-AR decode as ONE compiled "
                              "lax.scan dispatch per utterance instead of a "
@@ -156,6 +161,9 @@ def main():
 
     model = load_model(args.checkpoint, config)
     logging.info(f"Loaded model parameters from {args.checkpoint}.")
+    if args.int8_weights and not model.quantized:
+        model.quantize_int8()
+        logging.info("Quantized weights to int8 (per-out-channel symmetric).")
 
     os.makedirs(args.outdir, exist_ok=True)
     use_ar = config["generator_params"].get("use_ar", False)

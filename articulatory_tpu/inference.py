@@ -45,6 +45,7 @@ class LoadedModel:
     scale: np.ndarray | None = None
     pqmf: PQMF | None = None
     sp_mesh: Any = None  # set via enable_sequence_parallel
+    quantized: bool = False  # int8 weight leaves (see quantize_int8)
 
     @property
     def variables(self):
@@ -75,9 +76,33 @@ class LoadedModel:
             return c
         return (c - jnp.asarray(self.mean)) / jnp.asarray(self.scale)
 
+    def quantize_int8(self) -> None:
+        """Fold weight norm and store conv/dense kernels as int8 (symmetric
+        per-out-channel); every forward dequantizes inside jit. HBM reads
+        the 4x-smaller weights; under the scan decode the dequant is
+        loop-invariant and hoisted. Quality gate: tools/int8_quality_ab.sh.
+        """
+        from articulatory_tpu.utils.quantize import quantize_params_int8
+
+        self.remove_weight_norm()
+        self.params = jax.tree.map(
+            jnp.asarray, quantize_params_int8(jax.device_get(self.params)))
+        self.quantized = True
+        for cached in ("_jit_forward", "_jit_forward_sp", "_ar_scan_cache"):
+            self.__dict__.pop(cached, None)
+
+    def _materialize(self, params):
+        """Dequantize int8 weight leaves (traced; no-op when unquantized)."""
+        if not self.quantized:
+            return params
+        from articulatory_tpu.utils.quantize import dequantize_params
+
+        return dequantize_params(params)
+
     @functools.cached_property
     def _jit_forward(self):
         def fwd(params, c, ar):
+            params = self._materialize(params)
             kwargs = {} if ar is None else {"ar": ar}
             out = self.model.apply({"params": params, **self.mutables}, c, **kwargs)
             if isinstance(out, tuple):
@@ -91,6 +116,7 @@ class LoadedModel:
         from articulatory_tpu.parallel.sp import time_sharding
 
         def fwd(params, c):
+            params = self._materialize(params)
             out = self.model.apply({"params": params, **self.mutables}, c)
             if isinstance(out, tuple):
                 out = out[0]
@@ -126,8 +152,8 @@ class LoadedModel:
         from articulatory_tpu.utils.weight_norm import fold_weight_norm
 
         self.params = fold_weight_norm(jax.device_get(self.params))
-        self.__dict__.pop("_jit_forward", None)  # drop cached jit closures
-        self.__dict__.pop("_jit_forward_sp", None)
+        for cached in ("_jit_forward", "_jit_forward_sp", "_ar_scan_cache"):
+            self.__dict__.pop(cached, None)  # drop cached jit closures
 
     def inference(self, c: np.ndarray, normalize_before: bool = False,
                   bucket_frames: int | None = None) -> np.ndarray:
@@ -219,8 +245,14 @@ def load_model(checkpoint: str, config: dict | str | None = None,
     params = jax.tree.map(jnp.asarray, params)
     mutables = jax.tree.map(jnp.asarray, mutables)
 
-    return LoadedModel(model=model, params=params, config=config,
-                       mutables=mutables, mean=mean, scale=scale, pqmf=pqmf)
+    loaded = LoadedModel(model=model, params=params, config=config,
+                         mutables=mutables, mean=mean, scale=scale, pqmf=pqmf)
+    if config.get("weight_quant") == "int8":
+        loaded.quantize_int8()
+    elif config.get("weight_quant"):
+        raise ValueError(f"unsupported weight_quant: {config['weight_quant']} "
+                         "(only 'int8' is implemented)")
+    return loaded
 
 
 def _load_generator_params(checkpoint: str, generator_key: str,
@@ -414,6 +446,14 @@ def _get_scan_fn(model, past_out_len: int, out_channels: int):
 
     @jax.jit
     def run(params, chunks):
+        if getattr(model, "quantized", False):
+            from articulatory_tpu.utils.quantize import dequantize_params
+
+            # loop-invariant: XLA hoists the dequant out of the scan, so
+            # HBM holds int8 weights and the loop reads the one dequantized
+            # copy from its working set
+            params = dequantize_params(params)
+
         def body(prev, cin):
             out = model.model.apply({"params": params, **model.mutables},
                                     cin[None], ar=prev)

@@ -67,6 +67,7 @@ class StreamingSynthesizer:
 
         @jax.jit
         def fwd(params, cin, prev):
+            params = model._materialize(params)
             out = model.model.apply({"params": params, **model.mutables},
                                     cin, ar=prev)
             if isinstance(out, tuple):
