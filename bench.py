@@ -65,6 +65,11 @@ def main():
                         help="disable the default hybrid precision and run "
                              "the generator fully in f32 (round-2 headline "
                              "configuration: 32.5M samples/s/chip)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 weight quantization (per-out-channel "
+                             "symmetric over folded kernels; dequantized "
+                             "inside jit). Quality-gated by "
+                             "tools/int8_quality_ab.sh.")
     parser.add_argument("--no-time-packing", action="store_true",
                         help="disable the exact-equivalence space-to-depth "
                              "packing of the narrow late stages (packing is "
@@ -105,6 +110,18 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), c0, ar=ar0)
     params = variables["params"]
 
+    dequant = None
+    if args.int8:
+        from articulatory_tpu.utils.quantize import (
+            dequantize_params,
+            quantize_params_int8,
+        )
+        from articulatory_tpu.utils.weight_norm import fold_weight_norm
+
+        params = jax.tree.map(jnp.asarray, quantize_params_int8(
+            fold_weight_norm(jax.device_get(params))))
+        dequant = dequantize_params
+
     # Per-chunk jitted forward; the AR recurrence is host-driven (matching
     # the production ar_loop), with the carried context keeping every chunk
     # data-dependent on the previous one. The final scalar fetch transitively
@@ -112,6 +129,8 @@ def main():
     # sync point on the axon relay platform.
     @jax.jit
     def chunk_fwd(params, cin, prev):
+        if dequant is not None:
+            params = dequant(params)
         out = model.apply({"params": params}, cin, ar=prev)
         return out, out[:, -AR_INPUT:, :]
 

@@ -21,6 +21,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--streams", type=int, default=16)
     p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight quantization (LoadedModel.quantize_int8)")
     args = p.parse_args()
 
     import jax
@@ -61,7 +63,14 @@ def main():
     c0 = jnp.zeros((1, 100, 13))
     v = model.init(jax.random.PRNGKey(0), c0,
                    ar=jnp.zeros((1, 512, 1), jnp.float32))
-    shim = Shim(model, v["params"])
+    if args.int8:
+        from articulatory_tpu.inference import LoadedModel
+
+        shim = LoadedModel(model=model, params=jax.device_put(v["params"]),
+                           config=config, mutables={})
+        shim.quantize_int8()
+    else:
+        shim = Shim(model, v["params"])
 
     rng = np.random.default_rng(0)
     n_frames = int(args.seconds * sr / hop)
