@@ -14,6 +14,8 @@ import numpy as np
 
 
 def _fold_entry(entry: dict) -> dict:
+    if isinstance(entry["v"], dict):  # int8-quantized leaf (utils/quantize)
+        return entry
     v = np.asarray(entry["v"])
     g = np.asarray(entry["g"])
     # infer norm axes from g's broadcast shape: axes where g has size 1

@@ -57,6 +57,8 @@ def main():
                         "slower than f32 pre-MXU-rewrites; re-testable here "
                         "with the rewrites on)")
     args = p.parse_args()
+    if args.gen_bf16:
+        args.gen_hybrid = False  # pure-bf16 A/B, not hybrid
 
     import jax
 
