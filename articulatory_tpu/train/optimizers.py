@@ -156,6 +156,84 @@ def _scale_by_torch_nadam(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _scale_by_torch_asgd(lr0: float, lambd: float = 1e-4,
+                         alpha: float = 0.75
+                         ) -> optax.GradientTransformation:
+    """torch.optim.ASGD, reference-loop-effective semantics:
+    ``delta_t = -eta_t * (g + lambd*p)`` with ``eta_1 = lr`` and
+    ``eta_t = lr / (1 + lambd*lr*(t-1))**alpha`` (torch asgd.py
+    _single_tensor_asgd: the eta used at step t is the value written at the
+    end of step t-1; weight decay is added to g upstream, matching torch's
+    order).
+
+    The averaged iterate ``ax`` (and its ``mu``/``t0`` machinery) is
+    deliberately not materialized: torch's ASGD steps the raw params
+    identically with or without it, and the reference train loop
+    (bin/train.py:379) never reads ``ax`` — it would only double optimizer
+    memory. Because this trainer multiplies updates by the LIVE lr each
+    step, updates are returned pre-divided by the YAML base lr; exact for a
+    constant schedule, and a scheduler that changes lr mid-run scales eta's
+    numerator but keeps the base lr in eta's denominator (documented in
+    docs/MIGRATION.md).
+    """
+
+    def init_fn(params):
+        del params
+        return {"count": jnp.zeros([], jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        count = state["count"] + 1
+        t = count.astype(jnp.float32)
+        # eta_t / lr: ratio form so the trainer's lr multiply reconstructs eta
+        r = (1.0 + lambd * lr0 * (t - 1.0)) ** (-alpha)
+        updates = jax.tree.map(lambda g, p: r * (g + lambd * p),
+                               updates, params)
+        return updates, {"count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _scale_by_torch_rprop(lr0: float, etas=(0.5, 1.2),
+                          step_sizes=(1e-6, 50.0)
+                          ) -> optax.GradientTransformation:
+    """torch.optim.Rprop: per-element step sizes, initialized at lr and
+    multiplied by ``etaplus``/``etaminus`` on gradient-sign agreement/flip
+    (clamped to ``step_sizes``); on a flip the update is suppressed and the
+    stored previous gradient zeroed (torch rprop.py _single_tensor_rprop).
+
+    torch's Rprop consumes lr ONLY as the step-size init; this trainer
+    multiplies by the live lr each step, so updates are returned divided by
+    the YAML base lr — exact for a constant schedule (a mid-run scheduler
+    change would scale step sizes torch would leave untouched; documented
+    in docs/MIGRATION.md).
+    """
+    etaminus, etaplus = etas
+    smin, smax = step_sizes
+
+    def init_fn(params):
+        return {"prev": jax.tree.map(jnp.zeros_like, params),
+                "step_size": jax.tree.map(
+                    lambda p: jnp.full_like(p, lr0), params)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        sgn = jax.tree.map(lambda g, pr: jnp.sign(g * pr),
+                           updates, state["prev"])
+        step_size = jax.tree.map(
+            lambda s, ss: jnp.clip(
+                ss * jnp.where(s > 0, etaplus,
+                               jnp.where(s < 0, etaminus, 1.0)),
+                smin, smax),
+            sgn, state["step_size"])
+        g_mod = jax.tree.map(lambda s, g: jnp.where(s < 0, 0.0, g),
+                             sgn, updates)
+        new_updates = jax.tree.map(lambda g, ss: jnp.sign(g) * ss / lr0,
+                                   g_mod, step_size)
+        return new_updates, {"prev": g_mod, "step_size": step_size}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 # torch.optim kwargs that are pure no-ops at their defaults (implementation
 # switches or unimplemented-at-default features); a YAML ported verbatim
 # from torch that spells these out must not crash (advisor round 3)
@@ -172,11 +250,14 @@ def build_optimizer(name: str, params: dict | None = None,
 
     Accepts the torch.optim names the reference resolves from YAML
     (reference bin/train.py:1750-1759): Adam, RAdam, AdamW, NAdam, SGD,
-    RMSprop, Adagrad, Adadelta, Adamax. Remaining torch names (ASGD, LBFGS,
-    Rprop, SparseAdam) are documented as unsupported in docs/MIGRATION.md.
+    RMSprop, Adagrad, Adadelta, Adamax, ASGD, Rprop. The remaining two
+    (LBFGS, SparseAdam) are provably dead in the reference's own train loop
+    — see the error below and docs/MIGRATION.md.
     """
     params = dict(params or {})
-    params.pop("lr", None)  # lr is injected per-step by the trainer
+    # lr is injected per-step by the trainer; ASGD/Rprop also consume the
+    # base lr inside their update rule (eta schedule / step-size init)
+    lr0 = params.pop("lr", 0.01)  # torch default for ASGD/Rprop
     # drop torch kwargs that are no-ops at their defaults; non-default
     # values still fall through to the loud rejection below
     for key in _NOOP_KWARG_DEFAULTS:
@@ -252,11 +333,35 @@ def build_optimizer(name: str, params: dict | None = None,
             momentum_decay=params.pop("momentum_decay", 4e-3)))
         if wd and decoupled:  # AdamW-style, scaled by lr with the update
             chain.append(optax.add_decayed_weights(wd))
+    elif name == "ASGD":
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        params.pop("t0", None)  # only shapes the never-read averaged iterate
+        chain.append(_scale_by_torch_asgd(
+            lr0, lambd=params.pop("lambd", 1e-4),
+            alpha=params.pop("alpha", 0.75)))
+    elif name == "Rprop":
+        if wd:  # torch.optim.Rprop has no weight_decay kwarg at all
+            raise TypeError(
+                "Rprop got unexpected optimizer_params ['weight_decay'] — "
+                "torch.optim.Rprop rejects it too.")
+        chain.append(_scale_by_torch_rprop(
+            lr0, etas=tuple(params.pop("etas", (0.5, 1.2))),
+            step_sizes=tuple(params.pop("step_sizes", (1e-6, 50.0)))))
+    elif name in ("LBFGS", "SparseAdam"):
+        raise ValueError(
+            f"{name} cannot run in the reference's own train loop either: "
+            "LBFGS.step() requires a loss closure the loop never passes, and "
+            "SparseAdam rejects the dense gradients every model here "
+            "produces (reference bin/train.py:379/431 calls bare .step()) — "
+            "a provably dead YAML name, refused here too (see "
+            "docs/MIGRATION.md; tests/test_optim_sched_parity.py proves the "
+            "torch-side failure).")
     else:
         raise ValueError(
             f"Unsupported optimizer: {name}. Supported torch names: Adam, "
-            "RAdam, AdamW, NAdam, SGD, RMSprop, Adagrad, Adadelta, Adamax "
-            "(see docs/MIGRATION.md).")
+            "RAdam, AdamW, NAdam, SGD, RMSprop, Adagrad, Adadelta, Adamax, "
+            "ASGD, Rprop (see docs/MIGRATION.md).")
     if params:
         raise TypeError(
             f"{name} got unexpected optimizer_params {sorted(params)} — "

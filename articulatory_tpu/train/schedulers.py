@@ -9,6 +9,7 @@ jitted update, so metric-driven schedules need no retracing.
 
 from __future__ import annotations
 
+import bisect
 import math
 from typing import Sequence
 
@@ -253,6 +254,137 @@ class LambdaLR(_Scheduler):
         self.lr = self.base_lr * self.lr_lambda(self.step_count)
 
 
+class PolynomialLR(_Scheduler):
+    """torch semantics: ``base_lr * (1 - t/total_iters)**power`` until
+    ``total_iters`` (then unchanged — i.e. it stays at 0)."""
+
+    def __init__(self, base_lr: float, total_iters: int = 5,
+                 power: float = 1.0):
+        super().__init__(base_lr)
+        self.total_iters = total_iters
+        self.power = power
+
+    def _update(self, metric):
+        t = min(self.step_count, self.total_iters)
+        self.lr = self.base_lr * (1.0 - t / self.total_iters) ** self.power
+
+
+class MultiplicativeLR(_Scheduler):
+    """torch semantics: ``lr_t = lr_{t-1} * lr_lambda(t)`` (the factor is a
+    function of the step index, applied multiplicatively to the RUNNING lr,
+    unlike LambdaLR which rescales base_lr). Takes a Python callable, like
+    torch — a reference YAML cannot construct this scheduler either."""
+
+    def __init__(self, base_lr: float, lr_lambda):
+        super().__init__(base_lr)
+        self.lr_lambda = lr_lambda
+
+    def _update(self, metric):
+        self.lr = self.lr * self.lr_lambda(self.step_count)
+
+
+class ChainedScheduler(_Scheduler):
+    """torch semantics: step every child each step; the net lr is the
+    product of the children's multiplicative factors applied to base_lr
+    (torch chains recursive ``get_lr`` calls through the shared optimizer
+    group lr — for factor-form schedulers that telescopes to the same
+    product).
+
+    TPU-native extension: children are YAML-friendly ``{type, params}``
+    specs — torch's own ChainedScheduler takes scheduler INSTANCES and is
+    therefore unconstructible from the reference's YAML (train.py:1770-1779
+    passes only kwargs). Only factor-form children are accepted; lr-override
+    schedulers (Cyclic/OneCycle/Plateau/Cosine*) do not telescope and raise.
+    """
+
+    _CHAINABLE = ("StepLR", "MultiStepLR", "ExponentialLR", "ConstantLR",
+                  "LinearLR", "PolynomialLR", "LambdaLR", "MultiplicativeLR")
+
+    def __init__(self, base_lr: float, schedulers: Sequence[dict]):
+        super().__init__(base_lr)
+        self._specs = [dict(s) for s in schedulers]
+        self.children = [self._build(s) for s in self._specs]
+        self._update(None)  # torch applies initial factors at construction
+
+    def _build(self, spec: dict):
+        name = spec["type"]
+        if name not in self._CHAINABLE:
+            raise ValueError(
+                f"ChainedScheduler child {name} is not factor-form "
+                f"chainable; allowed: {list(self._CHAINABLE)}.")
+        return build_scheduler(name, self.base_lr,
+                               dict(spec.get("params", {})))
+
+    def _update(self, metric):
+        factor = 1.0
+        for child in self.children:
+            if self.step_count > 0:
+                child.step(metric)
+            factor *= child.lr / child.base_lr
+        self.lr = self.base_lr * factor
+
+    def state_dict(self) -> dict:
+        return {"step_count": self.step_count, "lr": self.lr,
+                "children": [c.state_dict() for c in self.children]}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.step_count = state["step_count"]
+        self.lr = state["lr"]
+        for child, cs in zip(self.children, state["children"]):
+            child.load_state_dict(cs)
+
+
+class SequentialLR(_Scheduler):
+    """torch semantics: run ``schedulers[i]`` between ``milestones[i-1]``
+    and ``milestones[i]``; at each milestone the incoming scheduler is reset
+    to its own epoch 0 against the ORIGINAL base lr (torch SequentialLR.step:
+    ``scheduler._update_lr(0)`` at the boundary).
+
+    TPU-native extension: children are ``{type, params}`` specs (torch's
+    takes instances — unconstructible from the reference's YAML, like
+    ChainedScheduler above).
+    """
+
+    def __init__(self, base_lr: float, schedulers: Sequence[dict],
+                 milestones: Sequence[int]):
+        super().__init__(base_lr)
+        if len(milestones) != len(schedulers) - 1:
+            raise ValueError(
+                f"SequentialLR expects {len(schedulers) - 1} milestones for "
+                f"{len(schedulers)} schedulers, got {len(milestones)} "
+                "(torch raises here too).")
+        self._specs = [dict(s) for s in schedulers]
+        self.milestones = list(milestones)
+        self.children = [
+            build_scheduler(s["type"], base_lr, dict(s.get("params", {})))
+            for s in self._specs]
+        self.lr = self.children[0].lr
+
+    def _update(self, metric):
+        t = self.step_count
+        idx = bisect.bisect_right(self.milestones, t)
+        if idx > 0 and self.milestones[idx - 1] == t:
+            # milestone boundary: incoming child restarts at its epoch 0
+            s = self._specs[idx]
+            self.children[idx] = build_scheduler(
+                s["type"], self.base_lr, dict(s.get("params", {})))
+        else:
+            self.children[idx].step(metric)
+        self.lr = self.children[idx].lr
+
+    def state_dict(self) -> dict:
+        return {"step_count": self.step_count, "lr": self.lr,
+                "milestones": self.milestones,
+                "children": [c.state_dict() for c in self.children]}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.step_count = state["step_count"]
+        self.lr = state["lr"]
+        self.milestones = list(state["milestones"])
+        for child, cs in zip(self.children, state["children"]):
+            child.load_state_dict(cs)
+
+
 class ReduceLROnPlateau(_Scheduler):
     """torch semantics: shrink lr by ``factor`` after ``patience`` steps
     without improvement beyond ``threshold``."""
@@ -316,6 +448,10 @@ def build_scheduler(name: str, base_lr: float, params: dict | None = None):
         "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
         "CyclicLR": CyclicLR,
         "OneCycleLR": OneCycleLR,
+        "PolynomialLR": PolynomialLR,
+        "MultiplicativeLR": MultiplicativeLR,
+        "ChainedScheduler": ChainedScheduler,
+        "SequentialLR": SequentialLR,
     }
     if name not in registry:
         raise ValueError(

@@ -16,7 +16,9 @@ def _run_ours(name, opt_params, w0, grads_seq, lr):
 
     from articulatory_tpu.train.optimizers import build_optimizer
 
-    tx = build_optimizer(name, dict(opt_params))
+    # ASGD/Rprop consume the base lr inside their update rule; the trainer
+    # builds from the same YAML dict that carries lr, so mirror that here
+    tx = build_optimizer(name, {"lr": lr, **dict(opt_params)})
     w = jnp.asarray(w0)
     st = tx.init(w)
     for g in grads_seq:
@@ -55,6 +57,11 @@ def _run_torch(name, opt_params, w0, grads_seq, lr):
     ("NAdam", {"betas": [0.8, 0.99], "eps": 1e-7, "weight_decay": 0.01}),
     ("NAdam", {"momentum_decay": 0.01}),
     ("NAdam", {"weight_decay": 0.02, "decoupled_weight_decay": True}),
+    ("ASGD", {}),
+    ("ASGD", {"lambd": 1e-2, "alpha": 0.6, "weight_decay": 0.01,
+              "t0": 1e6}),
+    ("Rprop", {}),
+    ("Rprop", {"etas": (0.4, 1.1), "step_sizes": (1e-5, 2.0)}),
 ])
 def test_optimizer_parity(name, params, rng):
     w0 = rng.standard_normal(16).astype(np.float32)
@@ -163,7 +170,123 @@ def test_unknown_scheduler_is_loud():
     from articulatory_tpu.train.schedulers import build_scheduler
 
     with pytest.raises(ValueError, match="MIGRATION"):
-        build_scheduler("ChainedScheduler", 1e-3, {})
+        build_scheduler("NoSuchLR", 1e-3, {})
+
+
+def test_dead_torch_names_are_dead_in_torch_too():
+    """LBFGS and SparseAdam cannot run under the reference's own train loop
+    (bin/train.py:379/431 calls bare .step(); gradients are dense) — prove
+    the torch-side failure, then that our rejection explains it."""
+    from articulatory_tpu.train.optimizers import build_optimizer
+
+    w = torch.zeros(4, requires_grad=True)
+    opt = torch.optim.LBFGS([w])
+    w.grad = torch.ones(4)
+    with pytest.raises(TypeError):
+        opt.step()  # closure argument is required
+
+    w2 = torch.zeros(4, requires_grad=True)
+    opt2 = torch.optim.SparseAdam([w2])
+    w2.grad = torch.ones(4)  # dense, as every model here produces
+    with pytest.raises(RuntimeError):
+        opt2.step()
+
+    for name in ("LBFGS", "SparseAdam"):
+        with pytest.raises(ValueError, match="provably dead"):
+            build_optimizer(name, {})
+
+
+def test_polynomial_multiplicative_parity():
+    base_lr = 1e-3
+    for params, steps in [({}, 10), ({"total_iters": 12, "power": 2.0}, 20),
+                          ({"total_iters": 8, "power": 0.5}, 16)]:
+        ours = _our_lr_trajectory("PolynomialLR", params, base_lr, steps)
+        theirs = _torch_lr_trajectory("PolynomialLR", params, base_lr, steps)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-12)
+    params = {"lr_lambda": lambda e: 0.95}
+    ours = _our_lr_trajectory("MultiplicativeLR", params, base_lr, 15)
+    theirs = _torch_lr_trajectory("MultiplicativeLR", params, base_lr, 15)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-12)
+
+
+def test_sequential_chained_parity():
+    """Our Sequential/Chained take YAML-friendly {type, params} specs
+    (torch's take instances — unconstructible from the reference's YAML);
+    parity vs torch instances built programmatically."""
+    from articulatory_tpu.train.schedulers import build_scheduler
+
+    base_lr = 1e-3
+    steps = 20
+
+    # SequentialLR: ConstantLR for 5 steps, then ExponentialLR
+    w = torch.zeros(1, requires_grad=True)
+    opt = torch.optim.SGD([w], lr=base_lr)
+    tsched = torch.optim.lr_scheduler.SequentialLR(
+        opt,
+        [torch.optim.lr_scheduler.ConstantLR(opt, factor=0.5, total_iters=3),
+         torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.9)],
+        milestones=[5])
+    theirs = [opt.param_groups[0]["lr"]]
+    for _ in range(steps):
+        opt.step()
+        tsched.step()
+        theirs.append(opt.param_groups[0]["lr"])
+    ours_s = build_scheduler("SequentialLR", base_lr, {
+        "schedulers": [
+            {"type": "ConstantLR", "params": {"factor": 0.5,
+                                              "total_iters": 3}},
+            {"type": "ExponentialLR", "params": {"gamma": 0.9}}],
+        "milestones": [5]})
+    ours = [ours_s.lr]
+    for _ in range(steps):
+        ours_s.step()
+        ours.append(ours_s.lr)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-12)
+
+    # ChainedScheduler: ConstantLR x ExponentialLR factors compose
+    w = torch.zeros(1, requires_grad=True)
+    opt = torch.optim.SGD([w], lr=base_lr)
+    tsched = torch.optim.lr_scheduler.ChainedScheduler(
+        [torch.optim.lr_scheduler.ConstantLR(opt, factor=0.25,
+                                             total_iters=4),
+         torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.95)])
+    theirs = [opt.param_groups[0]["lr"]]
+    for _ in range(steps):
+        opt.step()
+        tsched.step()
+        theirs.append(opt.param_groups[0]["lr"])
+    ours_c = build_scheduler("ChainedScheduler", base_lr, {
+        "schedulers": [
+            {"type": "ConstantLR", "params": {"factor": 0.25,
+                                              "total_iters": 4}},
+            {"type": "ExponentialLR", "params": {"gamma": 0.95}}]})
+    ours = [ours_c.lr]
+    for _ in range(steps):
+        ours_c.step()
+        ours.append(ours_c.lr)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-12)
+
+    # checkpoint roundtrip for the nested-spec schedulers
+    for name, params in [
+        ("SequentialLR", {"schedulers": [
+            {"type": "ConstantLR", "params": {"factor": 0.5,
+                                              "total_iters": 3}},
+            {"type": "ExponentialLR", "params": {"gamma": 0.9}}],
+            "milestones": [5]}),
+        ("ChainedScheduler", {"schedulers": [
+            {"type": "StepLR", "params": {"step_size": 4}},
+            {"type": "ExponentialLR", "params": {"gamma": 0.95}}]}),
+    ]:
+        import copy
+        a = build_scheduler(name, base_lr, copy.deepcopy(params))
+        for _ in range(7):
+            a.step()
+        b = build_scheduler(name, base_lr, copy.deepcopy(params))
+        b.load_state_dict(a.state_dict())
+        for _ in range(5):
+            a.step()
+            b.step()
+        assert a.lr == b.lr
 
 
 def test_new_schedulers_checkpoint_roundtrip():
