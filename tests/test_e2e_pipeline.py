@@ -158,3 +158,14 @@ def test_full_pipeline(tmp_path, monkeypatch, rng):
     wav, sr = read_wav(os.path.join("out", wavs[0]))
     assert sr == SR
     assert len(wav) > 0 and np.all(np.isfinite(wav))
+
+    # stage 3b: same decode through the compiled-scan CLI path (--ar-scan);
+    # must match the host-loop decode sample for sample
+    monkeypatch.setattr(sys, "argv", [
+        "decode", "--feats-scp", "data/dev_set/feats.scp",
+        "--checkpoint", f"exp/tiny/{ckpt}", "--config", "exp/tiny/config.yml",
+        "--outdir", "out_scan", "--ar-scan", "--verbose", "0"])
+    decode.main()
+    wav_scan, sr_scan = read_wav(os.path.join("out_scan", wavs[0]))
+    assert sr_scan == SR
+    np.testing.assert_allclose(wav_scan, wav, atol=2e-4)
