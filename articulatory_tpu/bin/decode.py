@@ -58,7 +58,8 @@ def main():
                         help="run chunked-AR decode as ONE compiled "
                              "lax.scan dispatch per utterance instead of a "
                              "host loop (latency mode; removes the "
-                             "per-chunk dispatch+sync roundtrip). First use "
+                             "per-chunk dispatch+sync roundtrip). Covers "
+                             "a2w wave decode AND w2a inversion. First use "
                              "pays a one-time scan compile, amortized by "
                              "the persistent compilation cache. Ignored for "
                              "wsola / multimodal / non-AR decodes.")
@@ -212,11 +213,12 @@ def main():
         return
 
     use_scan = bool(getattr(args, "ar_scan", False))
-    if use_scan and not (use_ar and is_wave and not do_wsola
+    if use_scan and not (use_ar and not do_wsola
+                         and (is_wave or dataset_mode == "w2a")
                          and dataset_mode not in ("a2w_mult", "a2w_pcd")):
         logging.warning("--ar-scan ignored: the compiled scan path covers "
-                        "plain chunked-AR wave decode (no wsola/multimodal/"
-                        "non-AR).")
+                        "plain chunked-AR wave decode and w2a inversion "
+                        "(no wsola/multimodal/non-AR).")
         use_scan = False
     if use_scan:
         from articulatory_tpu.inference import ar_loop_scan
@@ -264,7 +266,10 @@ def main():
                               wav, sr)
             else:
                 # feature-domain output (art / w2a / ph2m / ph2a / a2m)
-                if use_ar:
+                if use_scan:
+                    out = ar_loop_scan(model, c, config,
+                                       chunk_bucket=args.ar_scan_bucket)
+                elif use_ar:
                     out = ar_loop(model, c, config, do_wsola=do_wsola,
                                   modality=modality)
                 else:

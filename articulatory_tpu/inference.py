@@ -428,19 +428,25 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict
             else wav[i, : lengths[i] * hop] for i in range(b)]
 
 
-def _get_scan_fn(model, past_out_len: int, out_channels: int):
+def _get_scan_fn(model, past_out_len: int, out_channels: int,
+                 last_window: bool):
     """One jitted scan body per (model, carry signature).
 
     Cached on the model object so repeated calls (decode CLI over a corpus,
     a serving loop) reuse the same jit closure — jax.jit then handles
     per-chunk-shape executables internally, and the persistent compilation
     cache makes those one-time costs survive process restarts.
+
+    ``last_window`` picks the AR-carry regime, decided by the caller from
+    the reference's condition ``past_out_len <= batch_max_steps``
+    (decode.py:77 — note the comparison is against the SAMPLE chunk length
+    even in the w2a direction, where ``past_out_len`` counts frames).
     """
     try:
         cache = model.__dict__.setdefault("_ar_scan_cache", {})
     except AttributeError:  # exotic shims without __dict__
         cache = {}
-    key = (past_out_len, out_channels)
+    key = (past_out_len, out_channels, last_window)
     if key in cache:
         return cache[key]
 
@@ -459,7 +465,7 @@ def _get_scan_fn(model, past_out_len: int, out_channels: int):
                                     cin[None], ar=prev)
             if isinstance(out, tuple):
                 out = out[0]
-            if past_out_len <= out.shape[1]:
+            if last_window:
                 new_prev = out[:, -past_out_len:, :]
             else:
                 # shift register (reference decode.py:79-81): the AR window
@@ -481,12 +487,14 @@ def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict,
                  chunk_bucket: int = 0) -> np.ndarray:
     """Fully-compiled AR decode: pad to whole chunks and lax.scan over them.
 
-    Matches ``ar_loop`` on all complete chunks (both AR-carry regimes:
-    last-window and the shift-register case ``ar_input > batch_max_steps``);
-    the tail beyond the original length is trimmed. Preferred for
-    serving/benchmarking: ONE device dispatch per utterance instead of one
-    per chunk, which removes the per-chunk dispatch+sync roundtrip that
-    dominates single-stream latency (reference serial loop:
+    Matches ``ar_loop`` on all complete chunks in BOTH directions — a2w
+    (features -> waveform) and w2a (features -> articulatory trajectories,
+    reference decode.py:44-51) — and in both AR-carry regimes (last-window
+    and the shift-register case ``ar_input > batch_max_steps``); the tail
+    beyond the original length is computed under zero padding and trimmed.
+    Preferred for serving/benchmarking: ONE device dispatch per utterance
+    instead of one per chunk, which removes the per-chunk dispatch+sync
+    roundtrip that dominates single-stream latency (reference serial loop:
     decode.py:31-100).
 
     ``chunk_bucket``: round the chunk count up to this multiple so arbitrary
@@ -497,21 +505,45 @@ def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict,
     gp = config["generator_params"]
     hop = config["hop_size"]
     audio_chunk_len = config["batch_max_steps"]
-    in_chunk_len = audio_chunk_len // hop
-    past_out_len = gp.get("ar_input", 512)
+    w2a = config.get("dataset_mode") == "w2a"
     out_channels = gp.get("out_channels", 1)
+    if w2a:
+        # reference decode.py:46-48: chunk the input rows directly; the AR
+        # carry counts FRAMES (ar_input flattened elements / out_channels)
+        in_chunk_len = audio_chunk_len
+        past_out_len = int(gp.get("ar_input", 512) / out_channels)
+    else:
+        in_chunk_len = audio_chunk_len // hop
+        past_out_len = gp.get("ar_input", 512)
+    # reference decode.py:77 compares against the SAMPLE chunk length in
+    # both directions
+    last_window = past_out_len <= audio_chunk_len
 
     x = np.asarray(x, np.float32)
     if x.ndim == 1:
         x = x[:, None]
     t = len(x)
-    n_chunks = -(-t // in_chunk_len)
+    rem = t % in_chunk_len
+    if w2a and 0 < rem < hop:
+        # reference decode.py:57-58 drops a trailing sub-hop w2a chunk
+        t -= rem
+        rem = 0
+    n_chunks = max(-(-t // in_chunk_len), 1)
     if chunk_bucket:
         n_chunks = -(-n_chunks // chunk_bucket) * chunk_bucket
     pad = n_chunks * in_chunk_len - t
-    xp = np.pad(x, ((0, pad), (0, 0)))
+    xp = np.pad(x[:t], ((0, pad), (0, 0)))
     chunks = jnp.asarray(xp.reshape(n_chunks, in_chunk_len, x.shape[1]))
 
-    run = _get_scan_fn(model, past_out_len, out_channels)
+    run = _get_scan_fn(model, past_out_len, out_channels, last_window)
     out = np.asarray(run(model.params, chunks))
+    if w2a:
+        # trim to ar_loop's total: the per-chunk output length is
+        # model-defined (T->T for the BiGRU/Transformer inversion models);
+        # recover it from the scan output and scale the ragged tail by the
+        # same time ratio
+        frames_per_chunk = out.shape[0] // n_chunks
+        keep = (t // in_chunk_len) * frames_per_chunk
+        keep += rem * frames_per_chunk // in_chunk_len
+        return out[:keep]
     return out[: t * hop, 0] if out.shape[1] == 1 else out[: t * hop]

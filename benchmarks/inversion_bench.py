@@ -67,11 +67,72 @@ def bench_bigru(in_feats: int, name: str, batch: int, seconds: float,
     }
 
 
+def bench_ar_inversion(seconds: float, iters: int) -> list[dict]:
+    """Single-stream AR inversion latency: host chunk loop vs compiled scan.
+
+    The AR inversion direction (reference decode.py:44-51: past FEATURES fed
+    back per chunk) is serial per utterance — per-chunk host dispatch pays
+    the relay roundtrip once per chunk, the lax.scan path once per
+    utterance (inference.ar_loop_scan, same executables as
+    bin/decode --ar-scan / predict_ema.py --ar-scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from articulatory_tpu.inference import ar_loop, ar_loop_scan
+    from articulatory_tpu.models import BiGRU
+
+    ar_output, out_ch, ar_input = 64, 12, 512  # past 512/12 ~ 42 frames
+    chunk_frames = 200  # 1 s of 200 Hz features per chunk
+    config = {"dataset_mode": "w2a", "batch_max_steps": chunk_frames,
+              "hop_size": 80, "sampling_rate": SR,
+              "generator_params": {"out_channels": out_ch, "use_ar": True,
+                                   "ar_input": ar_input}}
+    model = BiGRU(in_channels=1024 + ar_output, hidden_size=256,
+                  out_channels=out_ch, use_ar=True, ar_input=ar_input,
+                  ar_hidden=64, ar_output=ar_output)
+    rng = np.random.default_rng(0)
+    t = int(seconds * FRAME_RATE) // chunk_frames * chunk_frames
+    x = rng.standard_normal((t, 1024)).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, chunk_frames, 1024)),
+                   ar=jnp.zeros((1, ar_input // out_ch, out_ch)))
+
+    class _Shim:
+        def __init__(self):
+            self.model = model
+            self.params = v["params"]
+            self.mutables = {k: val for k, val in v.items() if k != "params"}
+            self._jit = jax.jit(lambda p, c, ar: model.apply(
+                {"params": p, **self.mutables}, c, ar=ar))
+
+        def __call__(self, c, ar=None):
+            return self._jit(self.params, c, ar)
+
+    shim = _Shim()
+    results = []
+    for name, fn in (("host_loop", lambda: ar_loop(shim, x, config)),
+                     ("scan", lambda: ar_loop_scan(shim, x, config))):
+        np.asarray(fn())  # compile + warm
+        start = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(fn())
+        rtf = (time.perf_counter() - start) / iters / seconds
+        results.append({
+            "metric": f"w2a_ar_inversion_single_stream_rtf_{name}",
+            "value": round(rtf, 5),
+            "unit": "rtf",
+            "vs_baseline": round(0.02 / max(rtf, 1e-9), 2),
+        })
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--ar", action="store_true",
+                   help="also measure single-stream AR inversion latency "
+                        "(host chunk loop vs compiled lax.scan)")
     args = p.parse_args()
 
     from articulatory_tpu.utils.compilation_cache import enable_compilation_cache
@@ -81,6 +142,9 @@ def main():
     for in_feats, name in ((1024, "hubert"), (13, "mfcc")):
         print(json.dumps(bench_bigru(in_feats, name, args.batch,
                                      args.seconds, args.iters)))
+    if args.ar:
+        for r in bench_ar_inversion(args.seconds, args.iters):
+            print(json.dumps(r))
 
 
 if __name__ == "__main__":

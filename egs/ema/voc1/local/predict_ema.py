@@ -75,6 +75,10 @@ def main():
     exp_id = sys.argv[1]
     wav_d = sys.argv[2]
     output_feats_d = sys.argv[3]
+    # optional trailing flag (the 3 positional args keep the reference's CLI
+    # shape): run the AR inversion as ONE compiled lax.scan dispatch per
+    # utterance instead of a host chunk loop (inference.ar_loop_scan)
+    use_scan = "--ar-scan" in sys.argv[4:]
 
     input_modality = "hubert" if "_h2" in exp_id else "mfcc"
     if os.path.basename(exp_id).startswith("hprc"):
@@ -99,7 +103,12 @@ def main():
         else:
             feat = wav2mfcc(audio, sr=sr, hop_length=hop_length).T  # (T, C)
         if config["generator_params"].get("use_ar", False):
-            pred = ar_loop(model, feat.astype(np.float32), config)
+            if use_scan:
+                from articulatory_tpu.inference import ar_loop_scan
+
+                pred = ar_loop_scan(model, feat.astype(np.float32), config)
+            else:
+                pred = ar_loop(model, feat.astype(np.float32), config)
         else:
             pred = model.inference(feat.astype(np.float32))
         np.save(os.path.join(output_feats_d, fid + ".npy"), np.asarray(pred))

@@ -20,7 +20,8 @@ class _Shim:
 
     @functools.cached_property
     def _jit(self):
-        return jax.jit(lambda p, c, ar: self.model.apply({"params": p}, c, ar=ar))
+        return jax.jit(lambda p, c, ar: self.model.apply(
+            {"params": p, **self.mutables}, c, ar=ar))
 
     def __call__(self, c, ar=None):
         return self._jit(self.params, c, ar)
@@ -98,6 +99,38 @@ def test_scan_shift_register_matches_sequential(rng):
     y_seq = np.asarray(ar_loop(shim, x, config))
     assert y_scan.shape == y_seq.shape
     np.testing.assert_allclose(y_scan, y_seq, rtol=1e-4, atol=1e-5)
+
+
+def test_scan_w2a_matches_sequential(rng):
+    """w2a direction: frame-rate features -> trajectories via BiGRU; the
+    scan must reproduce ar_loop's chunking, feature-domain AR carry, and
+    the reference's trailing sub-hop chunk drop (decode.py:46-48, 57-58)."""
+    from articulatory_tpu.inference import ar_loop_scan
+    from articulatory_tpu.models import BiGRU
+
+    out_ch, ar_input = 4, 16  # past_out_len = 4 frames
+    model = BiGRU(in_channels=5 + 8, hidden_size=8, out_channels=out_ch,
+                  use_ar=True, ar_input=ar_input, ar_hidden=8, ar_output=8)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 5)),
+                   ar=jnp.zeros((1, ar_input // out_ch, out_ch)))
+    shim = _Shim(model, v["params"])
+    shim.mutables = {k: val for k, val in v.items() if k != "params"}
+
+    config = {"dataset_mode": "w2a", "batch_max_steps": 100, "hop_size": 80,
+              "generator_params": {"out_channels": out_ch, "use_ar": True,
+                                   "ar_input": ar_input}}
+    # (input frames, expected output frames, exactly-matching prefix):
+    # full chunks; ragged tail >= hop (kept, computed under zero padding —
+    # the bidirectional GRU sees the pad, so only complete chunks compare
+    # exactly); ragged tail < hop (dropped, reference decode.py:57-58)
+    for t, ref_len, full in ((300, 300, 300), (290, 290, 200), (250, 200, 200)):
+        x = rng.standard_normal((t, 5)).astype(np.float32)
+        y_scan = np.asarray(ar_loop_scan(shim, x, config))
+        y_seq = np.asarray(ar_loop(shim, x, config))
+        assert len(y_seq) == ref_len and len(y_scan) == ref_len
+        assert y_scan.shape[1] == out_ch
+        np.testing.assert_allclose(y_scan[:full], y_seq[:full],
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_scan_chunk_bucket_identical(rng):

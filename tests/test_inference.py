@@ -36,7 +36,8 @@ class _JaxModelShim:
 
         @functools.lru_cache(maxsize=None)
         def _jit():
-            return jax.jit(lambda p, c, ar: self.model.apply({"params": p}, c, ar=ar))
+            return jax.jit(lambda p, c, ar: self.model.apply(
+                {"params": p, **self.mutables}, c, ar=ar))
 
         return _jit()(self.params, c, ar)
 
@@ -117,6 +118,47 @@ def test_wsola_ar_loop_matches_reference(reference, rng):
     for a, b in zip(outs, outs_ref):
         np.testing.assert_allclose(np.asarray(a), b.numpy(),
                                    rtol=1e-3, atol=1e-4)
+
+
+@requires_reference
+def test_w2a_ar_loop_matches_reference(reference, rng):
+    """Inversion direction (w2a): our ar_loop AND the compiled scan match
+    the reference ar_loop with shared BiGRU weights (decode.py:44-51),
+    including the trailing sub-hop chunk drop (decode.py:57-58)."""
+    import torch
+    from articulatory.bin.decode import ar_loop as ref_ar_loop
+    from articulatory.models import BiGRU as RefBiGRU
+
+    from articulatory_tpu.inference import ar_loop, ar_loop_scan
+    from articulatory_tpu.models import BiGRU
+    from articulatory_tpu.utils.torch_import import import_bigru
+
+    # reference convention: in_channels includes ar_output (gru input dim)
+    cfg = dict(in_channels=13, hidden_size=16, out_channels=4, use_ar=True,
+               ar_input=32, ar_hidden=8, ar_output=8)
+    torch.manual_seed(0)
+    ref = RefBiGRU(**cfg)
+    ref.eval()
+    params, variables = import_bigru(ref.state_dict(), cfg)
+    ours = BiGRU(**cfg)
+
+    config = {"dataset_mode": "w2a", "batch_max_steps": 100, "hop_size": 80,
+              "sampling_rate": 16000, "generator_params": dict(cfg)}
+    # 250 frames -> chunks [100, 100, 50]; the 50 < hop tail is dropped
+    x = rng.standard_normal((250, 5)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref_ar_loop(ref, torch.from_numpy(x), config).numpy()
+    assert y_ref.shape == (200, 4)
+
+    shim = _JaxModelShim(ours, params)
+    shim.mutables = variables
+    y_ours = np.asarray(ar_loop(shim, x, config))
+    assert y_ours.shape == y_ref.shape
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-3, atol=1e-4)
+
+    y_scan = np.asarray(ar_loop_scan(shim, x, config))
+    assert y_scan.shape == y_ref.shape
+    np.testing.assert_allclose(y_scan, y_ref, rtol=1e-3, atol=1e-4)
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -143,6 +143,20 @@ def test_predict_ema_hubert_end_to_end(tmp_path, rng, monkeypatch):
         assert pred.shape[0] > 150  # ~200 Hz trajectory for >=1 s audio
         assert np.all(np.isfinite(pred))
 
+    # the compiled-scan serving path (--ar-scan) matches the host chunk
+    # loop on all complete chunks
+    out_scan = tmp_path / "pred_ema_scan"
+    monkeypatch.setattr(sys, "argv", [
+        "predict_ema.py", str(exp_dir), str(wav_d), str(out_scan),
+        "--ar-scan"])
+    pe.main()
+    for i in range(2):
+        a = np.load(out_d / f"utt{i}.npy")
+        b = np.load(out_scan / f"utt{i}.npy")
+        assert len(b) == len(a)
+        full = (len(a) // 100) * 100  # batch_max_steps chunks
+        np.testing.assert_allclose(b[:full], a[:full], rtol=1e-4, atol=1e-5)
+
 
 def test_predict_ema_mfcc_end_to_end(tmp_path, rng, monkeypatch):
     """MFCC modality through the same script (no '_h2' in exp id)."""
