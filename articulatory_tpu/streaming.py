@@ -7,6 +7,12 @@ corresponding ``batch_max_steps`` audio samples per chunk with one jitted
 forward each — constant memory and latency per chunk regardless of stream
 length (reference semantics: decode.py:31-82).
 
+The w2a inversion direction streams too (``dataset_mode: w2a`` — real-time
+articulatory trajectory prediction from incoming acoustic features):
+chunks are ``batch_max_steps`` input rows, the AR carry holds the past
+``ar_input / out_channels`` output FRAMES, and a trailing sub-hop remainder
+is dropped like the offline loop (reference decode.py:44-58).
+
 Batched streams (one AR state per lane) serve many clients from one chip.
 
 Latency notes (axon relay: ~30 ms dispatch+sync roundtrip):
@@ -36,14 +42,24 @@ class StreamingSynthesizer:
         self.config = config
         self.hop = config["hop_size"]
         self.chunk_len = config["batch_max_steps"]
-        self.chunk_frames = self.chunk_len // self.hop
+        self.w2a = config.get("dataset_mode") == "w2a"
         self.ar_input = gp.get("ar_input", 512)
         self.out_channels = gp.get("out_channels", 1)
-        # shift-register AR (ar_input > chunk): the window spans several
-        # chunks; the carry slides left by one chunk's output per step
-        # (reference decode.py:79-81)
-        self.shift_register = self.ar_input > self.chunk_len
-        assert self.out_channels == 1 or not config.get("pqmf", False), \
+        if self.w2a:
+            # inversion: chunks are input ROWS; the carry counts FRAMES
+            # (reference decode.py:46-48)
+            self.chunk_frames = self.chunk_len
+            self.carry_len = int(self.ar_input / self.out_channels)
+        else:
+            self.chunk_frames = self.chunk_len // self.hop
+            self.carry_len = self.ar_input
+        # shift-register AR: the window spans several chunks; the carry
+        # slides left by one chunk's output per step (reference
+        # decode.py:79-81). The reference compares against the SAMPLE chunk
+        # length in both directions (decode.py:77).
+        self.shift_register = self.carry_len > self.chunk_len
+        assert self.out_channels == 1 or self.w2a \
+            or not config.get("pqmf", False), \
             "multiband (PQMF) generators not supported in streaming mode; " \
             "use LoadedModel.inference / batched decode"
         self.batch = batch
@@ -52,7 +68,7 @@ class StreamingSynthesizer:
     def reset(self, lanes: slice | None = None) -> None:
         """Clear AR state (all lanes, or a slice for per-client resets)."""
         if lanes is None or not hasattr(self, "_prev"):
-            self._prev = jnp.zeros((self.batch, self.ar_input,
+            self._prev = jnp.zeros((self.batch, self.carry_len,
                                     self.out_channels), jnp.float32)
         else:
             prev = np.asarray(self._prev)
@@ -62,7 +78,7 @@ class StreamingSynthesizer:
     @functools.cached_property
     def _fwd(self):
         model = self.model
-        ar_input = self.ar_input  # must match self._prev's reset shape
+        carry_len = self.carry_len  # must match self._prev's reset shape
         shift_register = self.shift_register
 
         @jax.jit
@@ -76,7 +92,7 @@ class StreamingSynthesizer:
                 new_prev = jnp.concatenate([prev[:, out.shape[1]:, :], out],
                                            axis=1)
             else:
-                new_prev = out[:, -ar_input:, :]
+                new_prev = out[:, -carry_len:, :]
             return out, new_prev
 
         return fwd
@@ -84,7 +100,8 @@ class StreamingSynthesizer:
     def synthesize_chunk(self, feats: np.ndarray) -> np.ndarray:
         """feats: (batch, chunk_frames, C) or (chunk_frames, C) for batch=1.
 
-        Returns (batch, chunk_frames * hop, out_channels) audio samples.
+        Returns (batch, chunk_frames * hop, out_channels) audio samples —
+        or (batch, out_frames, out_channels) trajectories in w2a mode.
         """
         out = self.dispatch_chunk(feats)
         return np.asarray(out)
@@ -109,27 +126,39 @@ class StreamingSynthesizer:
         Keeps ``pipeline_depth`` chunk forwards in flight before each host
         readback, so the device computes chunk i+1 while the host consumes
         chunk i. The trailing partial chunk is zero-padded and trimmed (same
-        contract as batched decode)."""
+        contract as batched decode); in w2a mode a sub-hop remainder is
+        dropped entirely (reference decode.py:57-58) and the tail trim is
+        scaled by the model's output-frames-per-chunk ratio."""
+        feats = np.asarray(feats, np.float32)
         t = len(feats)
+        if self.w2a and 0 < t % self.chunk_frames < self.hop:
+            t -= t % self.chunk_frames
         pad = (-t) % self.chunk_frames
         if pad:
-            feats = np.pad(feats, ((0, pad), (0, 0)))
-        starts = list(range(0, len(feats), self.chunk_frames))
+            feats = np.pad(feats[:t], ((0, pad), (0, 0)))
+
+        def trim(j, out):
+            out = np.asarray(out[0])
+            keep_in = min(self.chunk_frames, t - j)
+            if self.w2a:
+                return out[: keep_in * out.shape[0] // self.chunk_frames]
+            return out[: keep_in * self.hop]
+
+        starts = list(range(0, t + pad, self.chunk_frames))
         inflight: list[tuple[int, jax.Array]] = []
         for i in starts:
             inflight.append(
                 (i, self.dispatch_chunk(feats[i:i + self.chunk_frames])))
             if len(inflight) > max(pipeline_depth, 1):
                 j, out = inflight.pop(0)
-                yield np.asarray(out[0])[: min(self.chunk_frames, t - j)
-                                         * self.hop]
+                yield trim(j, out)
         for j, out in inflight:
-            yield np.asarray(out[0])[: min(self.chunk_frames, t - j)
-                                     * self.hop]
+            yield trim(j, out)
 
     def synthesize_all(self, feats: np.ndarray) -> np.ndarray:
-        """Whole known (T, C) stream -> (T * hop,) audio in ONE compiled
-        lax.scan dispatch (batch=1 lanes only). Matches the concatenation of
+        """Whole known (T, C) stream -> (T * hop,) audio — or (frames,
+        out_channels) trajectories in w2a mode — in ONE compiled lax.scan
+        dispatch (batch=1 lanes only). Matches the concatenation of
         ``synthesize`` chunks; shares ``ar_loop_scan``'s per-model compiled
         executables with bin/decode --ar-scan."""
         assert self.batch == 1, "synthesize_all is a single-lane path"
