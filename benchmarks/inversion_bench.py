@@ -122,6 +122,31 @@ def bench_ar_inversion(seconds: float, iters: int) -> list[dict]:
             "unit": "rtf",
             "vs_baseline": round(0.02 / max(rtf, 1e-9), 2),
         })
+
+    # decomposition: both paths above re-upload the 1024-d feature stream
+    # every call (8.2 MB per 10 s through the relay — measured ~210 ms, i.e.
+    # ~90% of the scan wall time on this tunneled environment). The
+    # device-resident variant times the SAME cached scan executable with the
+    # chunks already in HBM: the true compute RTF a co-located feature
+    # producer (on-chip SSL frontend, or pipelined streaming hiding upload
+    # under compute) would see.
+    from articulatory_tpu.inference import _get_scan_fn
+
+    past_out_len = int(ar_input / out_ch)
+    chunks = jnp.asarray(x.reshape(t // chunk_frames, chunk_frames, -1))
+    run = _get_scan_fn(shim, past_out_len, out_ch,
+                       past_out_len <= chunk_frames)
+    float(jnp.sum(run(shim.params, chunks)))  # warm (cache-shared with scan)
+    start = time.perf_counter()
+    for _ in range(iters):
+        float(jnp.sum(run(shim.params, chunks)))
+    rtf = (time.perf_counter() - start) / iters / seconds
+    results.append({
+        "metric": "w2a_ar_inversion_single_stream_rtf_scan_device_resident",
+        "value": round(rtf, 5),
+        "unit": "rtf",
+        "vs_baseline": round(0.02 / max(rtf, 1e-9), 2),
+    })
     return results
 
 
