@@ -487,11 +487,14 @@ def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict,
                  chunk_bucket: int = 0) -> np.ndarray:
     """Fully-compiled AR decode: pad to whole chunks and lax.scan over them.
 
-    Matches ``ar_loop`` on all complete chunks in BOTH directions — a2w
-    (features -> waveform) and w2a (features -> articulatory trajectories,
-    reference decode.py:44-51) — and in both AR-carry regimes (last-window
-    and the shift-register case ``ar_input > batch_max_steps``); the tail
-    beyond the original length is computed under zero padding and trimmed.
+    Matches ``ar_loop`` in BOTH directions — a2w (features -> waveform) and
+    w2a (features -> articulatory trajectories, reference decode.py:44-51) —
+    and in both AR-carry regimes (last-window and the shift-register case
+    ``ar_input > batch_max_steps``). a2w ragged tails are computed under
+    zero padding and trimmed, which is EXACTLY the short-chunk forward for
+    the zero-'same'-padded conv generators; w2a ragged tails (where padding
+    would leak through the bidirectional recurrence) run as one extra
+    exact-shape forward seeded with the scan's carry.
     Preferred for serving/benchmarking: ONE device dispatch per utterance
     instead of one per chunk, which removes the per-chunk dispatch+sync
     roundtrip that dominates single-stream latency (reference serial loop:
@@ -524,10 +527,40 @@ def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict,
         x = x[:, None]
     t = len(x)
     rem = t % in_chunk_len
-    if w2a and 0 < rem < hop:
-        # reference decode.py:57-58 drops a trailing sub-hop w2a chunk
-        t -= rem
-        rem = 0
+    if w2a:
+        if 0 < rem < hop:
+            # reference decode.py:57-58 drops a trailing sub-hop w2a chunk
+            t -= rem
+            rem = 0
+        full = t // in_chunk_len
+        n_chunks = full
+        if chunk_bucket and full:
+            n_chunks = -(-full // chunk_bucket) * chunk_bucket
+        out = np.zeros((0, out_channels), np.float32)
+        if full:
+            xp = np.pad(x[: full * in_chunk_len],
+                        ((0, (n_chunks - full) * in_chunk_len), (0, 0)))
+            chunks = jnp.asarray(xp.reshape(n_chunks, in_chunk_len,
+                                            x.shape[1]))
+            run = _get_scan_fn(model, past_out_len, out_channels,
+                               last_window)
+            scanned = np.asarray(run(model.params, chunks))
+            out = scanned[: full * (scanned.shape[0] // n_chunks)]
+        if rem:
+            # exact ragged tail: the host loop's short-chunk forward,
+            # seeded with the scan's carry. In BOTH regimes the carry
+            # entering the tail equals the last past_out_len output frames
+            # (zero-prefixed when fewer exist) — reference decode.py:77-81
+            # maintains exactly that invariant — so it is recoverable from
+            # the outputs without threading it out of the scan.
+            buf = np.concatenate(
+                [np.zeros((past_out_len, out_channels), np.float32), out])
+            cout = model(jnp.asarray(x[full * in_chunk_len: t])[None],
+                         ar=jnp.asarray(buf[-past_out_len:])[None])
+            if isinstance(cout, tuple):
+                cout = cout[0]
+            out = np.concatenate([out, np.asarray(cout[0], np.float32)])
+        return out
     n_chunks = max(-(-t // in_chunk_len), 1)
     if chunk_bucket:
         n_chunks = -(-n_chunks // chunk_bucket) * chunk_bucket
@@ -537,13 +570,4 @@ def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict,
 
     run = _get_scan_fn(model, past_out_len, out_channels, last_window)
     out = np.asarray(run(model.params, chunks))
-    if w2a:
-        # trim to ar_loop's total: the per-chunk output length is
-        # model-defined (T->T for the BiGRU/Transformer inversion models);
-        # recover it from the scan output and scale the ragged tail by the
-        # same time ratio
-        frames_per_chunk = out.shape[0] // n_chunks
-        keep = (t // in_chunk_len) * frames_per_chunk
-        keep += rem * frames_per_chunk // in_chunk_len
-        return out[:keep]
     return out[: t * hop, 0] if out.shape[1] == 1 else out[: t * hop]

@@ -119,18 +119,17 @@ def test_scan_w2a_matches_sequential(rng):
     config = {"dataset_mode": "w2a", "batch_max_steps": 100, "hop_size": 80,
               "generator_params": {"out_channels": out_ch, "use_ar": True,
                                    "ar_input": ar_input}}
-    # (input frames, expected output frames, exactly-matching prefix):
-    # full chunks; ragged tail >= hop (kept, computed under zero padding —
-    # the bidirectional GRU sees the pad, so only complete chunks compare
-    # exactly); ragged tail < hop (dropped, reference decode.py:57-58)
-    for t, ref_len, full in ((300, 300, 300), (290, 290, 200), (250, 200, 200)):
+    # full chunks; ragged tail >= hop (kept — computed EXACTLY via the
+    # seeded short-chunk forward, since zero padding would leak through the
+    # bidirectional recurrence); ragged tail < hop (dropped, reference
+    # decode.py:57-58); shorter-than-one-chunk utterance (pure tail)
+    for t, ref_len in ((300, 300), (290, 290), (250, 200), (90, 90)):
         x = rng.standard_normal((t, 5)).astype(np.float32)
         y_scan = np.asarray(ar_loop_scan(shim, x, config))
         y_seq = np.asarray(ar_loop(shim, x, config))
         assert len(y_seq) == ref_len and len(y_scan) == ref_len
         assert y_scan.shape[1] == out_ch
-        np.testing.assert_allclose(y_scan[:full], y_seq[:full],
-                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(y_scan, y_seq, rtol=1e-4, atol=1e-5)
 
 
 def test_scan_chunk_bucket_identical(rng):

@@ -153,9 +153,10 @@ def test_predict_ema_hubert_end_to_end(tmp_path, rng, monkeypatch):
     for i in range(2):
         a = np.load(out_d / f"utt{i}.npy")
         b = np.load(out_scan / f"utt{i}.npy")
+        # exact on the full length: complete chunks ride the compiled scan,
+        # the ragged tail its seeded short-chunk forward
         assert len(b) == len(a)
-        full = (len(a) // 100) * 100  # batch_max_steps chunks
-        np.testing.assert_allclose(b[:full], a[:full], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
 
 
 def test_predict_ema_mfcc_end_to_end(tmp_path, rng, monkeypatch):
