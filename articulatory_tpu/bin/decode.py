@@ -189,7 +189,8 @@ def main():
     # dataset dispatch (decode.py:266)
     is_wave = is_wave_output_mode(dataset_mode)
 
-    if (args.decode_batch_size > 1 and use_ar and not do_wsola and is_wave
+    if (args.decode_batch_size > 1 and use_ar and not do_wsola
+            and (is_wave or dataset_mode == "w2a")
             and dataset_mode not in ("a2w_mult", "a2w_pcd")):
         from articulatory_tpu.inference import ar_loop_batched
 
@@ -198,12 +199,17 @@ def main():
         for i in range(0, len(items), args.decode_batch_size):
             group = items[i:i + args.decode_batch_size]
             start = time.time()
-            wavs = ar_loop_batched(model, [c for _, c in group], config)
+            outs = ar_loop_batched(model, [c for _, c in group], config)
             elapsed = time.time() - start
-            for (utt_id, _), wav in zip(group, wavs):
-                write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"),
-                          wav, sr)
-                total_len += len(wav) / sr
+            for (utt_id, c), out in zip(group, outs):
+                if is_wave:
+                    write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"),
+                              out, sr)
+                    total_len += len(out) / sr
+                else:  # w2a trajectories; input rows are waveform samples
+                    np.save(os.path.join(args.outdir, f"{utt_id}_gen.npy"),
+                            np.asarray(out, np.float32), allow_pickle=False)
+                    total_len += len(c) / sr
             total_time += elapsed
         logging.info(
             f"Finished batched generation of {len(items)} utterances "

@@ -388,33 +388,47 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
 
 def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict
                     ) -> list[np.ndarray]:
-    """Throughput-mode chunked AR decode over a batch of utterances (a2w).
+    """Throughput-mode chunked AR decode over a batch of utterances.
 
-    Each utterance keeps its own AR carry; features are padded to a common
-    chunk count and outputs trimmed to each utterance's true length. Batched
-    decoding is how the 50x-per-chip realtime target is exceeded by orders
-    of magnitude (see bench.py); per-utterance outputs can differ from the
-    sequential ar_loop only in the final partial chunk's receptive-field
-    tail (zero padding vs a shorter conv input).
+    Covers both directions (a2w wave decode and w2a inversion, like
+    ``ar_loop_scan``). Each utterance keeps its own AR carry; inputs are
+    padded to a common chunk count and outputs trimmed to each utterance's
+    true length (w2a: after the reference's sub-hop tail drop,
+    decode.py:57-58). Batched decoding is how the 50x-per-chip realtime
+    target is exceeded by orders of magnitude (see bench.py);
+    per-utterance outputs can differ from the sequential ar_loop only in
+    the final partial chunk's tail (zero padding vs a shorter input — for
+    zero-'same'-padded conv generators even that is exact; the w2a
+    bidirectional recurrences see the pad, use ``ar_loop_scan`` per
+    utterance when exact tails matter).
     """
     gp = config["generator_params"]
     hop = config["hop_size"]
     audio_chunk_len = config["batch_max_steps"]
-    in_chunk_len = audio_chunk_len // hop
-    past_out_len = gp.get("ar_input", 512)
+    w2a = config.get("dataset_mode") == "w2a"
     out_channels = gp.get("out_channels", 1)
+    if w2a:
+        in_chunk_len = audio_chunk_len
+        past_out_len = int(gp.get("ar_input", 512) / out_channels)
+    else:
+        in_chunk_len = audio_chunk_len // hop
+        past_out_len = gp.get("ar_input", 512)
     assert past_out_len <= audio_chunk_len
 
     b = len(xs)
     feat_dim = xs[0].shape[1] if xs[0].ndim == 2 else 1
     lengths = [len(x) for x in xs]
+    if w2a:
+        # reference decode.py:57-58: drop each utterance's sub-hop tail
+        lengths = [t - rem if 0 < (rem := t % in_chunk_len) < hop else t
+                   for t in lengths]
     n_chunks = max(-(-t // in_chunk_len) for t in lengths)
     batch = np.zeros((b, n_chunks * in_chunk_len, feat_dim), np.float32)
     for i, x in enumerate(xs):
         x = np.asarray(x, np.float32)
         if x.ndim == 1:
             x = x[:, None]
-        batch[i, : len(x)] = x
+        batch[i, : lengths[i]] = x[: lengths[i]]
 
     prev = jnp.zeros((b, past_out_len, out_channels), jnp.float32)
     outs = []
@@ -424,6 +438,12 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict
         outs.append(cout)
         prev = cout[:, -past_out_len:, :]
     wav = np.concatenate([np.asarray(o) for o in outs], axis=1)
+    if w2a:
+        # per-chunk output length is model-defined (T->T for the
+        # BiGRU/Transformer inversion models); scale each trim accordingly
+        fpc = wav.shape[1] // n_chunks
+        return [wav[i, : lengths[i] * fpc // in_chunk_len]
+                for i in range(b)]
     return [wav[i, : lengths[i] * hop, 0] if out_channels == 1
             else wav[i, : lengths[i] * hop] for i in range(b)]
 

@@ -152,3 +152,35 @@ def test_scan_chunk_bucket_identical(rng):
     exact = ar_loop_scan(shim, x, config, chunk_bucket=0)
     bucketed = ar_loop_scan(shim, x, config, chunk_bucket=4)
     np.testing.assert_array_equal(exact, bucketed)
+
+
+def test_batched_w2a_lanes_match_sequential(rng):
+    """w2a batched lanes: mixed-length inversion group vs per-utterance
+    ar_loop — exact lengths (incl. the per-utterance sub-hop drop,
+    reference decode.py:57-58) and full-chunk prefix equality (ragged
+    tails are zero-padded in lane mode; the bidirectional GRU sees the
+    pad, so only complete chunks compare exactly)."""
+    from articulatory_tpu.inference import ar_loop_batched
+    from articulatory_tpu.models import BiGRU
+
+    out_ch, ar_input = 4, 16
+    model = BiGRU(in_channels=5 + 8, hidden_size=8, out_channels=out_ch,
+                  use_ar=True, ar_input=ar_input, ar_hidden=8, ar_output=8)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 5)),
+                   ar=jnp.zeros((1, ar_input // out_ch, out_ch)))
+    shim = _Shim(model, v["params"])
+    shim.mutables = {k: val for k, val in v.items() if k != "params"}
+
+    config = {"dataset_mode": "w2a", "batch_max_steps": 100, "hop_size": 80,
+              "generator_params": {"out_channels": out_ch, "use_ar": True,
+                                   "ar_input": ar_input}}
+    # (input rows, expected output frames after the sub-hop drop)
+    cases = ((300, 300), (290, 290), (250, 200), (90, 90))
+    xs = [rng.standard_normal((t, 5)).astype(np.float32) for t, _ in cases]
+    outs = ar_loop_batched(shim, xs, config)
+    for x, out, (t, ref_len) in zip(xs, outs, cases):
+        seq = np.asarray(ar_loop(shim, x, config))
+        assert len(seq) == ref_len and len(out) == ref_len
+        full = (ref_len // 100) * 100
+        np.testing.assert_allclose(out[:full], seq[:full],
+                                   rtol=1e-4, atol=1e-5)
