@@ -62,7 +62,9 @@ def main():
                              "a2w wave decode AND w2a inversion. First use "
                              "pays a one-time scan compile, amortized by "
                              "the persistent compilation cache. Ignored for "
-                             "wsola / multimodal / non-AR decodes.")
+                             "wsola / multimodal / non-AR decodes. Composes "
+                             "with --decode-batch-size: each lane group "
+                             "becomes one scan dispatch.")
     parser.add_argument("--ar-scan-bucket", default=4, type=int,
                         help="with --ar-scan, round the per-utterance chunk "
                              "count up to this multiple so arbitrary "
@@ -199,7 +201,10 @@ def main():
         for i in range(0, len(items), args.decode_batch_size):
             group = items[i:i + args.decode_batch_size]
             start = time.time()
-            outs = ar_loop_batched(model, [c for _, c in group], config)
+            # --ar-scan composes with lanes: the whole group runs as ONE
+            # lax.scan dispatch (same lane semantics, no per-chunk roundtrip)
+            outs = ar_loop_batched(model, [c for _, c in group], config,
+                                   scan=bool(args.ar_scan))
             elapsed = time.time() - start
             for (utt_id, c), out in zip(group, outs):
                 if is_wave:

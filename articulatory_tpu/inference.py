@@ -386,8 +386,8 @@ def ar_loop(model: LoadedModel, x: np.ndarray, config: dict,
         return outs, ins
 
 
-def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict
-                    ) -> list[np.ndarray]:
+def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict,
+                    scan: bool = False) -> list[np.ndarray]:
     """Throughput-mode chunked AR decode over a batch of utterances.
 
     Covers both directions (a2w wave decode and w2a inversion, like
@@ -401,6 +401,13 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict
     zero-'same'-padded conv generators even that is exact; the w2a
     bidirectional recurrences see the pad, use ``ar_loop_scan`` per
     utterance when exact tails matter).
+
+    ``scan=True`` computes the SAME lane semantics as ONE ``lax.scan``
+    dispatch instead of one dispatch per chunk: the whole padded lane
+    batch uploads once and the AR chunk chain runs device-side. Through
+    a tunneled/remote device this removes the per-chunk transfer+dispatch
+    roundtrip that otherwise dominates served AR throughput (see
+    benchmarks/inversion_bench.py --ar lane metrics).
     """
     gp = config["generator_params"]
     hop = config["hop_size"]
@@ -430,14 +437,22 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict
             x = x[:, None]
         batch[i, : lengths[i]] = x[: lengths[i]]
 
-    prev = jnp.zeros((b, past_out_len, out_channels), jnp.float32)
-    outs = []
-    for ci in range(n_chunks):
-        cin = jnp.asarray(batch[:, ci * in_chunk_len:(ci + 1) * in_chunk_len])
-        cout = model(cin, ar=prev)
-        outs.append(cout)
-        prev = cout[:, -past_out_len:, :]
-    wav = np.concatenate([np.asarray(o) for o in outs], axis=1)
+    if scan:
+        chunks = jnp.asarray(
+            batch.reshape(b, n_chunks, in_chunk_len, feat_dim)
+            .swapaxes(0, 1))  # (n_chunks, B, T, C)
+        run = _get_scan_fn(model, past_out_len, out_channels, True)
+        wav = np.asarray(run(model.params, chunks))  # (B, n*T_out, C)
+    else:
+        prev = jnp.zeros((b, past_out_len, out_channels), jnp.float32)
+        outs = []
+        for ci in range(n_chunks):
+            cin = jnp.asarray(
+                batch[:, ci * in_chunk_len:(ci + 1) * in_chunk_len])
+            cout = model(cin, ar=prev)
+            outs.append(cout)
+            prev = cout[:, -past_out_len:, :]
+        wav = np.concatenate([np.asarray(o) for o in outs], axis=1)
     if w2a:
         # per-chunk output length is model-defined (T->T for the
         # BiGRU/Transformer inversion models); scale each trim accordingly
@@ -480,9 +495,14 @@ def _get_scan_fn(model, past_out_len: int, out_channels: int,
             # copy from its working set
             params = dequantize_params(params)
 
+        # rank decides lane count at trace time: (n, T, C) is the
+        # single-utterance scan, (n, B, T, C) runs B AR lanes per step
+        # (ar_loop_batched's lane semantics in one dispatch)
+        batched = chunks.ndim == 4
+
         def body(prev, cin):
             out = model.model.apply({"params": params, **model.mutables},
-                                    cin[None], ar=prev)
+                                    cin if batched else cin[None], ar=prev)
             if isinstance(out, tuple):
                 out = out[0]
             if last_window:
@@ -493,10 +513,13 @@ def _get_scan_fn(model, past_out_len: int, out_channels: int,
                 # chunk's output and append the new chunk
                 new_prev = jnp.concatenate([prev[:, out.shape[1]:, :], out],
                                            axis=1)
-            return new_prev, out[0]
+            return new_prev, out if batched else out[0]
 
-        prev0 = jnp.zeros((1, past_out_len, out_channels), jnp.float32)
+        lanes = chunks.shape[1] if batched else 1
+        prev0 = jnp.zeros((lanes, past_out_len, out_channels), jnp.float32)
         _, outs = jax.lax.scan(body, prev0, chunks)
+        if batched:  # (n, B, T_out, C) -> (B, n*T_out, C)
+            return outs.swapaxes(0, 1).reshape(lanes, -1, outs.shape[-1])
         return outs.reshape(-1, outs.shape[-1])
 
     cache[key] = run

@@ -147,6 +147,46 @@ def bench_ar_inversion(seconds: float, iters: int) -> list[dict]:
         "unit": "rtf",
         "vs_baseline": round(0.02 / max(rtf, 1e-9), 2),
     })
+
+    # throughput mode: 64 AR lanes through ar_loop_batched (the
+    # bin/decode --decode-batch-size path) — per-lane carries keep every
+    # chunk data-dependent, so this is the served AR-inversion ceiling.
+    # MFCC-13 modality: 10 KB/s of features per lane keeps the metric on
+    # AR lane COMPUTE rather than tunnel bandwidth (the HuBERT-1024
+    # single-stream metrics above already carry the transfer story).
+    from articulatory_tpu.inference import ar_loop_batched
+
+    model13 = BiGRU(in_channels=13 + ar_output, hidden_size=256,
+                    out_channels=out_ch, use_ar=True, ar_input=ar_input,
+                    ar_hidden=64, ar_output=ar_output)
+    v13 = model13.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, chunk_frames, 13)),
+                       ar=jnp.zeros((1, ar_input // out_ch, out_ch)))
+    shim13 = _Shim()
+    shim13.model = model13
+    shim13.params = v13["params"]
+    shim13.mutables = {k: val for k, val in v13.items() if k != "params"}
+    shim13._jit = jax.jit(lambda p, c, ar: model13.apply(
+        {"params": p, **shim13.mutables}, c, ar=ar))
+
+    lanes = 64
+    xs = [rng.standard_normal((t, 13)).astype(np.float32)
+          for _ in range(lanes)]
+    for name, kwargs in (("", {}), ("_scan", {"scan": True})):
+        # the host loop uploads + dispatches once per chunk; scan=True runs
+        # the whole lane group as ONE upload + lax.scan dispatch
+        ar_loop_batched(shim13, xs, config, **kwargs)  # warm (syncs at end)
+        start = time.perf_counter()
+        for _ in range(iters):
+            ar_loop_batched(shim13, xs, config, **kwargs)
+        elapsed = (time.perf_counter() - start) / iters
+        rt = lanes * seconds / elapsed
+        results.append({
+            "metric": f"w2a_ar_inversion_lane_throughput_mfcc{name}",
+            "value": round(rt * SR, 1),
+            "unit": "samples_per_sec_per_chip",
+            "vs_baseline": round(rt / 50.0, 3),
+        })
     return results
 
 

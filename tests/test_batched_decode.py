@@ -154,6 +154,63 @@ def test_scan_chunk_bucket_identical(rng):
     np.testing.assert_array_equal(exact, bucketed)
 
 
+def test_batched_scan_matches_batched_loop_a2w(rng):
+    """scan=True runs the SAME lane semantics as the per-chunk host loop
+    in one lax.scan dispatch — outputs must agree chunk for chunk."""
+    model = HiFiGANGenerator(
+        in_channels=13 + 8, channels=16, upsample_scales=(5, 4, 2, 2),
+        upsample_kernel_sizes=(10, 8, 4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), use_ar=True, ar_input=64, ar_hidden=8,
+        ar_output=8)
+    c0 = jnp.zeros((1, 10, 13))
+    v = model.init(jax.random.PRNGKey(0), c0, ar=jnp.zeros((1, 64, 1)))
+    shim = _Shim(model, v["params"])
+
+    config = {"dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+              "generator_params": {"out_channels": 1, "use_ar": True,
+                                   "ar_input": 64}}
+    # mixed lengths incl. a ragged tail (27): both paths zero-pad the same
+    # lane batch, so outputs match on FULL lengths, not just full chunks
+    xs = [rng.standard_normal((t, 13)).astype(np.float32)
+          for t in (30, 20, 27)]
+    loop = ar_loop_batched(shim, xs, config)
+    scan = ar_loop_batched(shim, xs, config, scan=True)
+    for yl, ys in zip(loop, scan):
+        assert yl.shape == ys.shape
+        np.testing.assert_allclose(ys, yl, rtol=1e-4, atol=1e-5)
+    # and the sequential oracle on the whole-chunk prefixes
+    for x, ys in zip(xs, scan):
+        seq = np.asarray(ar_loop(shim, x, config))
+        n_full = (len(x) // 10) * 800
+        np.testing.assert_allclose(ys[:n_full], seq[:n_full],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_batched_scan_matches_batched_loop_w2a(rng):
+    """w2a lanes via one scan dispatch: per-lane AR carries, per-utterance
+    sub-hop drops, and trims equal the host-loop lane path."""
+    from articulatory_tpu.models import BiGRU
+
+    out_ch, ar_input = 4, 16
+    model = BiGRU(in_channels=5 + 8, hidden_size=8, out_channels=out_ch,
+                  use_ar=True, ar_input=ar_input, ar_hidden=8, ar_output=8)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 5)),
+                   ar=jnp.zeros((1, ar_input // out_ch, out_ch)))
+    shim = _Shim(model, v["params"])
+    shim.mutables = {k: val for k, val in v.items() if k != "params"}
+
+    config = {"dataset_mode": "w2a", "batch_max_steps": 100, "hop_size": 80,
+              "generator_params": {"out_channels": out_ch, "use_ar": True,
+                                   "ar_input": ar_input}}
+    cases = ((300, 300), (290, 290), (250, 200), (90, 90))
+    xs = [rng.standard_normal((t, 5)).astype(np.float32) for t, _ in cases]
+    loop = ar_loop_batched(shim, xs, config)
+    scan = ar_loop_batched(shim, xs, config, scan=True)
+    for (t, ref_len), yl, ys in zip(cases, loop, scan):
+        assert len(yl) == ref_len and len(ys) == ref_len
+        np.testing.assert_allclose(ys, yl, rtol=1e-4, atol=1e-5)
+
+
 def test_batched_w2a_lanes_match_sequential(rng):
     """w2a batched lanes: mixed-length inversion group vs per-utterance
     ar_loop — exact lengths (incl. the per-utterance sub-hop drop,

@@ -70,12 +70,14 @@ def test_scan_tail(shim, rng, t, bucket):
 
 
 @pytest.mark.parametrize("lanes", [2, 3])
-def test_batched_lane_tails(shim, rng, lanes):
+@pytest.mark.parametrize("scan", [False, True])
+def test_batched_lane_tails(shim, rng, lanes, scan):
     """Ragged lengths across lanes: each lane's output is trimmed to its own
-    true length and matches the sequential decode on full chunks."""
+    true length and matches the sequential decode on full chunks — via the
+    per-chunk host loop AND the one-dispatch lane scan."""
     xs = [rng.standard_normal((t, 13)).astype(np.float32)
           for t in LENGTHS[:lanes]]
-    ys = ar_loop_batched(shim, xs, CONFIG)
+    ys = ar_loop_batched(shim, xs, CONFIG, scan=scan)
     for x, yb in zip(xs, ys):
         assert len(yb) == len(x) * 80
         y_seq = np.asarray(ar_loop(shim, x, CONFIG))

@@ -169,3 +169,20 @@ def test_full_pipeline(tmp_path, monkeypatch, rng):
     wav_scan, sr_scan = read_wav(os.path.join("out_scan", wavs[0]))
     assert sr_scan == SR
     np.testing.assert_allclose(wav_scan, wav, atol=2e-4)
+
+    # stage 3c: batched lanes (--decode-batch-size) with and without the
+    # one-dispatch scan (--ar-scan); the two lane paths must agree
+    for outdir, extra in (("out_lanes", []), ("out_lanes_scan", ["--ar-scan"])):
+        monkeypatch.setattr(sys, "argv", [
+            "decode", "--feats-scp", "data/tr_set/feats.scp",
+            "--checkpoint", f"exp/tiny/{ckpt}",
+            "--config", "exp/tiny/config.yml", "--outdir", outdir,
+            "--decode-batch-size", "2", "--verbose", "0"] + extra)
+        decode.main()
+    lane_wavs = sorted(f for f in os.listdir("out_lanes")
+                       if f.endswith("_gen.wav"))
+    assert len(lane_wavs) == N_UTT - 1
+    for f in lane_wavs:
+        w_loop, _ = read_wav(os.path.join("out_lanes", f))
+        w_scan, _ = read_wav(os.path.join("out_lanes_scan", f))
+        np.testing.assert_allclose(w_scan, w_loop, atol=2e-4)
