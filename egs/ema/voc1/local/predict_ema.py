@@ -79,6 +79,14 @@ def main():
     # shape): run the AR inversion as ONE compiled lax.scan dispatch per
     # utterance instead of a host chunk loop (inference.ar_loop_scan)
     use_scan = "--ar-scan" in sys.argv[4:]
+    # optional `--batch N`: run N wavs as parallel AR lanes
+    # (inference.ar_loop_batched; with --ar-scan each lane group is ONE
+    # compiled dispatch — the served-throughput path, see DESIGN.md §5).
+    # Lane outputs can differ from the sequential loop only in the final
+    # partial chunk (zero lane padding through the BiGRU recurrence).
+    extra = sys.argv[4:]
+    lane_batch = int(extra[extra.index("--batch") + 1]) \
+        if "--batch" in extra else 1
 
     input_modality = "hubert" if "_h2" in exp_id else "mfcc"
     if os.path.basename(exp_id).startswith("hprc"):
@@ -95,22 +103,40 @@ def main():
     files = sorted(f for f in os.listdir(wav_d) if f.endswith(".wav"))
     os.makedirs(output_feats_d, exist_ok=True)
 
-    for f in tqdm(files):
+    def featurize(f):
         audio, sr = read_wav(os.path.join(wav_d, f))
-        fid = f[: f.rfind(".")]
         if input_modality == "hubert":
             feat = hubert_features(audio, interp_factor)
         else:
             feat = wav2mfcc(audio, sr=sr, hop_length=hop_length).T  # (T, C)
-        if config["generator_params"].get("use_ar", False):
+        return feat.astype(np.float32)
+
+    use_ar = config["generator_params"].get("use_ar", False)
+    if lane_batch > 1 and use_ar:
+        from articulatory_tpu.inference import ar_loop_batched
+
+        for i in tqdm(range(0, len(files), lane_batch)):
+            group = files[i:i + lane_batch]
+            feats = [featurize(f) for f in group]
+            preds = ar_loop_batched(model, feats, config, scan=use_scan)
+            for f, pred in zip(group, preds):
+                np.save(os.path.join(output_feats_d,
+                                     f[: f.rfind(".")] + ".npy"),
+                        np.asarray(pred))
+        return
+
+    for f in tqdm(files):
+        feat = featurize(f)
+        fid = f[: f.rfind(".")]
+        if use_ar:
             if use_scan:
                 from articulatory_tpu.inference import ar_loop_scan
 
-                pred = ar_loop_scan(model, feat.astype(np.float32), config)
+                pred = ar_loop_scan(model, feat, config)
             else:
-                pred = ar_loop(model, feat.astype(np.float32), config)
+                pred = ar_loop(model, feat, config)
         else:
-            pred = model.inference(feat.astype(np.float32))
+            pred = model.inference(feat)
         np.save(os.path.join(output_feats_d, fid + ".npy"), np.asarray(pred))
 
 

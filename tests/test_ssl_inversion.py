@@ -158,6 +158,22 @@ def test_predict_ema_hubert_end_to_end(tmp_path, rng, monkeypatch):
         assert len(b) == len(a)
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
 
+    # lane batching (--batch N [--ar-scan]): same lengths as the sequential
+    # run, matching on all complete chunks (ragged tails see lane padding)
+    for name, extra in (("lanes", ["--batch", "2"]),
+                        ("lanes_scan", ["--batch", "2", "--ar-scan"])):
+        out_l = tmp_path / f"pred_ema_{name}"
+        monkeypatch.setattr(sys, "argv", [
+            "predict_ema.py", str(exp_dir), str(wav_d), str(out_l)] + extra)
+        pe.main()
+        for i in range(2):
+            a = np.load(out_d / f"utt{i}.npy")
+            b = np.load(out_l / f"utt{i}.npy")
+            assert len(b) == len(a)
+            full = (len(a) // 100) * 100
+            np.testing.assert_allclose(b[:full], a[:full],
+                                       rtol=1e-4, atol=1e-5)
+
 
 def test_predict_ema_mfcc_end_to_end(tmp_path, rng, monkeypatch):
     """MFCC modality through the same script (no '_h2' in exp id)."""
