@@ -329,18 +329,30 @@ def main():
     # Eliminates per-step host transfers (which leak on the axon relay —
     # see data/device_cache.py) and host-input latency entirely.
     train_loader = None
-    if (config.get("use_device_cache", False)
-            and config.get("dataset_mode") in ("a2w", "w2a", "a2m", "m2a")
+    cache_mode = None
+    if config.get("use_device_cache", False):
+        from articulatory_tpu.data.device_cache import canonical_cache_mode
+
+        # generic x2y modes (e.g. the shipped mri string) resolve onto the
+        # art/audio streams and ride the cache through the canonical mode
+        cache_mode = canonical_cache_mode(
+            config.get("dataset_mode") or "default")
+    if (cache_mode is not None
             and config.get("package_mode", "random_window") == "random_window"
             and batch_sampler is None and num_shards == 1
-            # host collaters add aux_context_window frames and generator2
-            # 'ar2' windows the device crop does not reproduce
+            # the streams below are host-collater-only: aux_context_window
+            # frames, generator2 'ar2' windows, spk/ph ids, PCD pitch tracks
             and config["generator_params"].get("aux_context_window", 0) == 0
-            and config.get("generator2_type") is None):
+            and config.get("generator2_type") is None
+            and not config["generator_params"].get("use_spk_id", False)
+            and not config["generator_params"].get("use_ph", False)
+            and not config.get("use_pcd", False)):
         from articulatory_tpu.data.device_cache import DeviceCachedBatcher
 
+        cache_config = config if cache_mode == config.get("dataset_mode") \
+            else {**config, "dataset_mode": cache_mode}
         train_loader = DeviceCachedBatcher(
-            train_dataset, config, batch_size=config["batch_size"],
+            train_dataset, cache_config, batch_size=config["batch_size"],
             seed=args.seed)
         logging.info("using device-resident corpus cache for training data")
     elif config.get("use_device_cache", False):

@@ -30,6 +30,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def canonical_cache_mode(dataset_mode: str) -> str | None:
+    """Map a dataset_mode onto the cache's canonical mode, or None.
+
+    Generic ``x2y`` mode strings resolve onto the art/audio streams exactly
+    like the training collater does (collate.parse_dataset_mode — e.g. the
+    shipped mri mode ``tracks_npy_minc_punc2wav_adobe_0p9_punc`` has a2w
+    semantics, mri2w_hifigan_car.yaml:27), so the device cache serves them
+    through the matching canonical mode. Modes whose streams the cache does
+    not hold (ph/mel-to-wave, multimodal, decode-only) return None.
+    """
+    if dataset_mode in ("a2w", "w2a", "a2m", "m2a"):
+        return dataset_mode
+    if dataset_mode in ("a2w_mult", "a2w_pcd"):
+        return None
+    from articulatory_tpu.data.collate import parse_dataset_mode
+
+    try:
+        x_key, y_key = parse_dataset_mode(dataset_mode)[:2]
+    except ValueError:
+        return None
+    return {("art", "audio"): "a2w",
+            ("audio", "art"): "w2a"}.get((x_key, y_key))
+
+
 class DeviceCachedBatcher:
     """Iterable over jitted device-assembled random-window batches.
 
@@ -48,6 +72,11 @@ class DeviceCachedBatcher:
         gp = config.get("generator_params", {})
         if gp.get("use_spk_id") or gp.get("use_ph"):
             raise ValueError("device cache does not support spk/ph hooks")
+        if config.get("use_pcd"):
+            raise ValueError("device cache does not support PCD training: "
+                             "the pitch/periodicity streams the disc input "
+                             "concat needs (train/gan.py::disc_inputs) are "
+                             "not cached")
         if config.get("generator2_type"):
             raise ValueError("device cache does not support two-stage "
                              "(generator2) configs: the host collater's 'ar2' "

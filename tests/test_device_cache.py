@@ -151,3 +151,56 @@ def test_rejects_unsupported_configs(rng):
                                    aux_context_window=2)
     with pytest.raises(ValueError, match="aux_context_window"):
         DeviceCachedBatcher(_ListDataset(items), cfg, batch_size=2)
+    cfg = dict(base, use_pcd=True)
+    with pytest.raises(ValueError, match="PCD"):
+        DeviceCachedBatcher(_ListDataset(items), cfg, batch_size=2)
+
+
+MRI_MODE = "tracks_npy_minc_punc2wav_adobe_0p9_punc"  # mri2w_hifigan_car.yaml:27
+
+
+def test_canonical_cache_mode():
+    """Generic x2y modes resolve to the cache's canonical modes exactly like
+    the training collater resolves their streams (collate.parse_dataset_mode);
+    unsupported stream pairs return None."""
+    from articulatory_tpu.data.device_cache import canonical_cache_mode
+
+    for mode in ("a2w", "w2a", "a2m", "m2a"):
+        assert canonical_cache_mode(mode) == mode
+    assert canonical_cache_mode(MRI_MODE) == "a2w"  # shipped mri config
+    assert canonical_cache_mode("default") == "a2w"
+    assert canonical_cache_mode("ph2a") is None    # ph stream not cached
+    assert canonical_cache_mode("m2w") is None     # mel+audio pair not cached
+    assert canonical_cache_mode("a2w_mult") is None
+    assert canonical_cache_mode("a2w_pcd") is None
+
+
+def test_mri_mode_rides_cache_via_canonical_mode(rng):
+    """The shipped mri dataset_mode trains through the device cache: the
+    canonicalized batcher reproduces the host collater's batches for the
+    VERBATIM mri mode string (which resolves to a2w semantics)."""
+    from articulatory_tpu.data.device_cache import canonical_cache_mode
+
+    items = _corpus(rng)
+    config = {
+        "dataset_mode": MRI_MODE, "hop_size": HOP,
+        "batch_max_steps": FRAMES * HOP,
+        "generator_params": {"out_channels": 1, "use_ar": True,
+                             "ar_input": 512},
+    }
+    canon = canonical_cache_mode(config["dataset_mode"])
+    batcher = DeviceCachedBatcher(
+        _ListDataset(items), {**config, "dataset_mode": canon},
+        batch_size=3, seed=0)
+    utts = np.array([0, 2, 4], np.int32)
+    starts = np.array([0, 5, 30], np.int32)
+    dev = {k: (np.asarray(v[0]),) if k == "x" else np.asarray(v)
+           for k, v in batcher.batch_at(utts, starts).items()}
+
+    collater = SpeechCollater(
+        batch_max_steps=FRAMES * HOP, hop_size=HOP, dataset_mode=MRI_MODE,
+        config=config, rng=_FixedStartRng(list(starts)))
+    host = collater([items[u] for u in utts])
+    np.testing.assert_allclose(dev["x"][0], host["x"][0], atol=0)
+    np.testing.assert_allclose(dev["y"], host["y"], atol=0)
+    np.testing.assert_allclose(dev["ar"], host["ar"], atol=0)
