@@ -420,7 +420,9 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict,
     else:
         in_chunk_len = audio_chunk_len // hop
         past_out_len = gp.get("ar_input", 512)
-    assert past_out_len <= audio_chunk_len
+    # reference decode.py:77: the carry regime compares past_out_len against
+    # the SAMPLE chunk length in both directions
+    last_window = past_out_len <= audio_chunk_len
 
     b = len(xs)
     feat_dim = xs[0].shape[1] if xs[0].ndim == 2 else 1
@@ -430,6 +432,14 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict,
         lengths = [t - rem if 0 < (rem := t % in_chunk_len) < hop else t
                    for t in lengths]
     n_chunks = max(-(-t // in_chunk_len) for t in lengths)
+    if n_chunks == 0:
+        # every lane's (tail-dropped) input is empty; the reference crashes
+        # here (np.concatenate over zero chunks, decode.py:82) — return
+        # well-formed empty outputs instead
+        return [np.zeros((0, out_channels), np.float32) if w2a
+                else (np.zeros((0,), np.float32) if out_channels == 1
+                      else np.zeros((0, out_channels), np.float32))
+                for _ in xs]
     batch = np.zeros((b, n_chunks * in_chunk_len, feat_dim), np.float32)
     for i, x in enumerate(xs):
         x = np.asarray(x, np.float32)
@@ -441,7 +451,7 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict,
         chunks = jnp.asarray(
             batch.reshape(b, n_chunks, in_chunk_len, feat_dim)
             .swapaxes(0, 1))  # (n_chunks, B, T, C)
-        run = _get_scan_fn(model, past_out_len, out_channels, True)
+        run = _get_scan_fn(model, past_out_len, out_channels, last_window)
         wav = np.asarray(run(model.params, chunks))  # (B, n*T_out, C)
     else:
         prev = jnp.zeros((b, past_out_len, out_channels), jnp.float32)
@@ -451,7 +461,14 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict,
                 batch[:, ci * in_chunk_len:(ci + 1) * in_chunk_len])
             cout = model(cin, ar=prev)
             outs.append(cout)
-            prev = cout[:, -past_out_len:, :]
+            if last_window:
+                prev = cout[:, -past_out_len:, :]
+            else:
+                # shift register (reference decode.py:79-81): the AR window
+                # spans several chunks — slide left by one chunk's output
+                prev = jnp.concatenate(
+                    [prev[:, (in_chunk_len if w2a else cout.shape[1]):, :],
+                     cout], axis=1)
         wav = np.concatenate([np.asarray(o) for o in outs], axis=1)
     if w2a:
         # per-chunk output length is model-defined (T->T for the

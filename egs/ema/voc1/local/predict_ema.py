@@ -78,15 +78,32 @@ def main():
     # optional trailing flag (the 3 positional args keep the reference's CLI
     # shape): run the AR inversion as ONE compiled lax.scan dispatch per
     # utterance instead of a host chunk loop (inference.ar_loop_scan)
-    use_scan = "--ar-scan" in sys.argv[4:]
     # optional `--batch N`: run N wavs as parallel AR lanes
     # (inference.ar_loop_batched; with --ar-scan each lane group is ONE
     # compiled dispatch — the served-throughput path, see DESIGN.md §5).
     # Lane outputs can differ from the sequential loop only in the final
     # partial chunk (zero lane padding through the BiGRU recurrence).
-    extra = sys.argv[4:]
-    lane_batch = int(extra[extra.index("--batch") + 1]) \
-        if "--batch" in extra else 1
+    extra = list(sys.argv[4:])
+    use_scan, lane_batch = False, 1
+    while extra:
+        tok = extra.pop(0)
+        if tok == "--ar-scan":
+            use_scan = True
+        elif tok == "--batch":
+            if not extra:
+                sys.exit("predict_ema.py: --batch requires an integer value")
+            val = extra.pop(0)
+            try:
+                lane_batch = int(val)
+            except ValueError:
+                sys.exit(f"predict_ema.py: --batch expects an integer, "
+                         f"got {val!r}")
+            if lane_batch < 1:
+                sys.exit(f"predict_ema.py: --batch must be >= 1, "
+                         f"got {lane_batch}")
+        else:
+            sys.exit(f"predict_ema.py: unrecognized argument {tok!r} "
+                     f"(known: --ar-scan, --batch N)")
 
     input_modality = "hubert" if "_h2" in exp_id else "mfcc"
     if os.path.basename(exp_id).startswith("hprc"):

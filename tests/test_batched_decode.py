@@ -241,3 +241,60 @@ def test_batched_w2a_lanes_match_sequential(rng):
         full = (ref_len // 100) * 100
         np.testing.assert_allclose(out[:full], seq[:full],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_batched_shift_register_matches_sequential(rng):
+    """ar_input > batch_max_steps routed through the batched path (ADVICE
+    r4: used to die on a bare assert) — both the per-chunk host loop and
+    the one-dispatch scan must slide the multi-chunk shift register like
+    the sequential loop (reference decode.py:79-81)."""
+    model = HiFiGANGenerator(
+        in_channels=13 + 8, channels=16, upsample_scales=(5, 4, 2, 2),
+        upsample_kernel_sizes=(10, 8, 4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), use_ar=True, ar_input=2000, ar_hidden=8,
+        ar_output=8)
+    c0 = jnp.zeros((1, 10, 13))
+    v = model.init(jax.random.PRNGKey(0), c0, ar=jnp.zeros((1, 2000, 1)))
+    shim = _Shim(model, v["params"])
+
+    config = {"dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+              "generator_params": {"out_channels": 1, "use_ar": True,
+                                   "ar_input": 2000}}
+    xs = [rng.standard_normal((t, 13)).astype(np.float32)
+          for t in (50, 40, 50)]  # whole 10-frame chunks
+    for scan in (False, True):
+        outs = ar_loop_batched(shim, xs, config, scan=scan)
+        for x, out in zip(xs, outs):
+            seq = np.asarray(ar_loop(shim, x, config))
+            assert out.shape == seq.shape
+            np.testing.assert_allclose(out, seq, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_all_empty_inputs(rng):
+    """Degenerate all-empty lane group (ADVICE r4: used to raise
+    ZeroDivisionError / np.concatenate error): well-formed empty outputs."""
+    model = HiFiGANGenerator(
+        in_channels=13 + 8, channels=16, upsample_scales=(5, 4, 2, 2),
+        upsample_kernel_sizes=(10, 8, 4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), use_ar=True, ar_input=64, ar_hidden=8,
+        ar_output=8)
+    c0 = jnp.zeros((1, 10, 13))
+    v = model.init(jax.random.PRNGKey(0), c0, ar=jnp.zeros((1, 64, 1)))
+    shim = _Shim(model, v["params"])
+
+    a2w = {"dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+           "generator_params": {"out_channels": 1, "use_ar": True,
+                                "ar_input": 64}}
+    xs = [np.zeros((0, 13), np.float32)] * 2
+    outs = ar_loop_batched(shim, xs, a2w)
+    assert len(outs) == 2 and all(o.shape == (0,) for o in outs)
+
+    # w2a: inputs shorter than hop_size drop to length 0 via the sub-hop
+    # tail rule; outputs must be empty (0, out_channels) arrays
+    w2a = {"dataset_mode": "w2a", "batch_max_steps": 100, "hop_size": 80,
+           "generator_params": {"out_channels": 4, "use_ar": True,
+                                "ar_input": 16}}
+    xs = [np.zeros((0, 5), np.float32),
+          rng.standard_normal((50, 5)).astype(np.float32)]
+    outs = ar_loop_batched(shim, xs, w2a)
+    assert len(outs) == 2 and all(o.shape == (0, 4) for o in outs)

@@ -219,6 +219,21 @@ def test_predict_ema_mfcc_end_to_end(tmp_path, rng, monkeypatch):
     assert pred.shape[1] == out_ch and np.all(np.isfinite(pred))
 
 
+def test_predict_ema_rejects_malformed_flags(tmp_path, monkeypatch):
+    """ADVICE r4: trailing-flag parsing must fail loudly — --batch without
+    a value, a non-integer value, and misspelled flags all exit with a
+    clear message instead of IndexError / silent ignore."""
+    pe = _load_script("predict_ema")
+    for argv in (["predict_ema.py", "exp", "wavs", "out", "--batch"],
+                 ["predict_ema.py", "exp", "wavs", "out", "--batch", "x"],
+                 ["predict_ema.py", "exp", "wavs", "out", "--batch", "0"],
+                 ["predict_ema.py", "exp", "wavs", "out", "--ar_scan"]):
+        monkeypatch.setattr(sys, "argv", argv)
+        with pytest.raises(SystemExit) as exc:
+            pe.main()
+        assert "predict_ema.py:" in str(exc.value)
+
+
 def test_linear_inference_end_to_end(tmp_path, rng, monkeypatch):
     """wav -> tiny WavLM layer features -> sklearn regressor -> EMA .npy."""
     import joblib
