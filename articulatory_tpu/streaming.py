@@ -71,7 +71,8 @@ class StreamingSynthesizer:
             self._prev = jnp.zeros((self.batch, self.carry_len,
                                     self.out_channels), jnp.float32)
         else:
-            prev = np.asarray(self._prev)
+            # np.asarray on a device array is a read-only view; copy
+            prev = np.array(self._prev)
             prev[lanes] = 0.0
             self._prev = jnp.asarray(prev)
 
@@ -164,3 +165,132 @@ class StreamingSynthesizer:
         assert self.batch == 1, "synthesize_all is a single-lane path"
         return ar_loop_scan(self.model, np.asarray(feats, np.float32),
                             self.config)
+
+
+class StreamingServer:
+    """Continuous-batching stream server: clients join and leave mid-serve.
+
+    ``StreamingSynthesizer`` requires all lanes joined up front and stepped
+    in lockstep; real serving has ragged arrivals. This server runs ONE
+    fixed ``max_lanes``-wide executable for the lifetime of the process:
+    occupancy changes only flip a host-side mask, never the compiled shape,
+    so lane churn (join/leave/stall) costs zero recompiles and idle lanes
+    ride the same dispatch as full ones.
+
+    Correctness invariants (tests/test_streaming.py):
+    - lanes are batch-independent through the generator, so a lane's output
+      never depends on its neighbours' occupancy or data;
+    - a lane that skips a round keeps its AR carry (the carry update is
+      masked INSIDE the jitted step, so stalled lanes cost no extra
+      dispatch);
+    - a joining lane starts from a zeroed carry and produces bit-identical
+      output to a fresh decode of the same stream in the same geometry.
+
+    Extends the reference's single-stream chunked AR contract
+    (decode.py:31-82) to multi-tenant serving; the reference has no server.
+    """
+
+    def __init__(self, model: LoadedModel, config: dict, max_lanes: int = 16):
+        self.syn = StreamingSynthesizer(model, config, batch=max_lanes)
+        self.max_lanes = max_lanes
+        self._lane_of: dict[object, int] = {}
+        self._free = list(range(max_lanes))[::-1]  # pop() -> lowest index
+
+    # -- admission ---------------------------------------------------------
+
+    def join(self, client_id) -> int:
+        """Admit a stream; returns its lane index. O(1), one tiny device op
+        to zero the lane's AR carry."""
+        if client_id in self._lane_of:
+            raise ValueError(f"client {client_id!r} already joined")
+        if not self._free:
+            raise RuntimeError(
+                f"server full ({self.max_lanes} lanes); leave() a stream "
+                f"first or build a wider server")
+        lane = self._free.pop()
+        self._lane_of[client_id] = lane
+        self.syn.reset(lanes=slice(lane, lane + 1))
+        return lane
+
+    def leave(self, client_id) -> None:
+        """Retire a stream; its slot becomes reusable immediately."""
+        lane = self._lane_of.pop(client_id)
+        self._free.append(lane)
+
+    @property
+    def active(self) -> list:
+        return list(self._lane_of)
+
+    # -- serving -----------------------------------------------------------
+
+    @functools.cached_property
+    def _fwd(self):
+        syn = self.syn
+        model = syn.model
+        carry_len, shift_register = syn.carry_len, syn.shift_register
+
+        @jax.jit
+        def fwd(params, cin, prev, mask):
+            params = model._materialize(params)
+            out = model.model.apply({"params": params, **model.mutables},
+                                    cin, ar=prev)
+            if isinstance(out, tuple):
+                out = out[0]
+            if shift_register:
+                upd = jnp.concatenate([prev[:, out.shape[1]:, :], out],
+                                      axis=1)
+            else:
+                upd = out[:, -carry_len:, :]
+            # stalled / idle lanes keep their carry — masked in-dispatch
+            new_prev = jnp.where(mask[:, None, None], upd, prev)
+            return out, new_prev
+
+        return fwd
+
+    def step(self, chunks: dict) -> dict:
+        """One serving round: ``{client_id: (t, C) feature chunk}`` ->
+        ``{client_id: output array}``.
+
+        Each submitted chunk is at most ``chunk_frames`` rows; a shorter
+        final chunk is zero-padded through the fixed executable and its
+        output trimmed (a2w: ``t * hop`` samples; w2a: the model's
+        output-frame ratio, with the reference's sub-hop remainder drop
+        applied by the caller ending the stream). Joined clients absent
+        from ``chunks`` stall this round and keep their AR carry."""
+        syn = self.syn
+        if not chunks:
+            return {}
+        unknown = [c for c in chunks if c not in self._lane_of]
+        if unknown:
+            raise KeyError(f"clients not joined: {unknown!r}")
+        feat_dim = np.asarray(next(iter(chunks.values()))).shape[-1]
+        batch = np.zeros((self.max_lanes, syn.chunk_frames, feat_dim),
+                         np.float32)
+        mask = np.zeros((self.max_lanes,), bool)
+        lens = {}
+        for cid, chunk in chunks.items():
+            chunk = np.asarray(chunk, np.float32)
+            if chunk.ndim == 1:
+                chunk = chunk[:, None]
+            t = len(chunk)
+            assert 0 < t <= syn.chunk_frames, \
+                f"chunk must be 1..{syn.chunk_frames} frames, got {t}"
+            lane = self._lane_of[cid]
+            batch[lane, :t] = chunk
+            mask[lane] = True
+            lens[cid] = t
+        out, self.syn._prev = self._fwd(
+            syn.model.params, jnp.asarray(batch), self.syn._prev,
+            jnp.asarray(mask))
+        # read back only the submitted lanes (one gather, one transfer)
+        rows = np.asarray([self._lane_of[cid] for cid in chunks])
+        got = np.asarray(out[jnp.asarray(rows)])
+        results = {}
+        for i, cid in enumerate(chunks):
+            t = lens[cid]
+            if syn.w2a:
+                keep = t * got.shape[1] // syn.chunk_frames
+            else:
+                keep = t * syn.hop
+            results[cid] = got[i, :keep]
+        return results

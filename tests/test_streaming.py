@@ -170,3 +170,117 @@ def test_streaming_w2a_shift_register_matches_ar_loop(rng):
     streamed = np.concatenate(list(stream.synthesize(x)))
     assert streamed.shape == offline.shape
     np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
+
+
+def _hifigan_a2w(rng, ar_input=64):
+    config = {"dataset_mode": "a2w", "batch_max_steps": 800, "hop_size": 80,
+              "generator_params": {"out_channels": 1, "use_ar": True,
+                                   "ar_input": ar_input}}
+    model_def = HiFiGANGenerator(
+        in_channels=13 + 8, channels=16, upsample_scales=(5, 4, 2, 2),
+        upsample_kernel_sizes=(10, 8, 4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), use_ar=True, ar_input=ar_input,
+        ar_hidden=8, ar_output=8)
+    v = model_def.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 13)),
+                       ar=jnp.zeros((1, ar_input, 1)))
+    return LoadedModel(model=model_def, params=v["params"], config=config,
+                       mutables={}), config
+
+
+def test_server_churn_bit_identical(rng):
+    """Continuous batching (VERDICT r4 #3): streams joining/leaving/stalling
+    mid-serve produce BIT-IDENTICAL output to a fresh solo decode of the
+    same stream through the same server geometry."""
+    from articulatory_tpu.streaming import StreamingServer
+
+    model, config = _hifigan_a2w(rng)
+    streams = {c: rng.standard_normal((n * 10, 13)).astype(np.float32)
+               for c, n in (("a", 6), ("b", 4), ("c", 2))}
+
+    # churn scenario: a joins at round 0; b joins at round 2; a leaves after
+    # round 5 (6 chunks); c joins round 6 REUSING a's freed lane; b stalls
+    # in round 4 (keeps carry) and finishes late
+    server = StreamingServer(model, config, max_lanes=2)
+    got = {c: [] for c in streams}
+    chunk = lambda c, i: streams[c][i * 10:(i + 1) * 10]
+    plan = [  # (round, submissions) — b skips round 4
+        {"a": 0}, {"a": 1}, {"a": 2, "b": 0}, {"a": 3, "b": 1},
+        {"a": 4}, {"a": 5, "b": 2}, {"c": 0, "b": 3}, {"c": 1},
+    ]
+    server.join("a")
+    for rnd, subs in enumerate(plan):
+        if rnd == 2:
+            server.join("b")
+        if rnd == 6:
+            server.leave("a")
+            assert server.join("c") == 0  # reuses a's freed lane slot
+        outs = server.step({c: chunk(c, i) for c, i in subs.items()})
+        for c, y in outs.items():
+            got[c].append(y)
+
+    for c, x in streams.items():
+        mine = np.concatenate(got[c])[:, 0]
+        # fresh solo serve in the SAME geometry -> bit-identical
+        solo_srv = StreamingServer(model, config, max_lanes=2)
+        solo_srv.join("solo")
+        solo = np.concatenate(
+            [solo_srv.step({"solo": x[i:i + 10]})["solo"]
+             for i in range(0, len(x), 10)])[:, 0]
+        np.testing.assert_array_equal(mine, solo)
+        # and equals the offline ar_loop within float tolerance
+        offline = np.asarray(ar_loop(model, x, config))
+        np.testing.assert_allclose(mine, offline, rtol=1e-4, atol=1e-5)
+
+
+def test_server_partial_tail_and_errors(rng):
+    from articulatory_tpu.streaming import StreamingServer
+
+    model, config = _hifigan_a2w(rng)
+    server = StreamingServer(model, config, max_lanes=2)
+    x = rng.standard_normal((17, 13)).astype(np.float32)
+    server.join("a")
+    y0 = server.step({"a": x[:10]})["a"]
+    y1 = server.step({"a": x[10:]})["a"]  # 7-frame tail -> 560 samples
+    assert y0.shape == (800, 1) and y1.shape == (560, 1)
+    mine = np.concatenate([y0, y1])[:, 0]
+    offline = np.asarray(ar_loop(model, x, config))
+    n_full = 800  # the padded tail matches the solo zero-pad contract
+    np.testing.assert_allclose(mine[:n_full], offline[:n_full],
+                               rtol=1e-4, atol=1e-5)
+
+    import pytest
+    with pytest.raises(ValueError):
+        server.join("a")           # double join
+    with pytest.raises(KeyError):
+        server.step({"zz": x[:10]})  # not joined
+    server.join("b")
+    with pytest.raises(RuntimeError):
+        server.join("overflow")    # full
+    server.leave("b")
+    server.join("d")               # slot reuse after leave
+
+
+def test_server_w2a_churn_matches_solo(rng):
+    """Inversion-direction server lanes under churn == solo serve."""
+    from articulatory_tpu.streaming import StreamingServer
+
+    model, config = _bigru_w2a(rng)
+    xa = rng.standard_normal((300, 5)).astype(np.float32)
+    xb = rng.standard_normal((200, 5)).astype(np.float32)
+    server = StreamingServer(model, config, max_lanes=3)
+    server.join("a")
+    got_a = [server.step({"a": xa[:100]})["a"]]
+    server.join("b")
+    outs = server.step({"a": xa[100:200], "b": xb[:100]})
+    got_a.append(outs["a"])
+    got_b = [outs["b"]]
+    outs = server.step({"a": xa[200:], "b": xb[100:]})
+    got_a.append(outs["a"])
+    got_b.append(outs["b"])
+    for cid, x, got in (("a", xa, got_a), ("b", xb, got_b)):
+        solo_srv = StreamingServer(model, config, max_lanes=3)
+        solo_srv.join("s")
+        solo = np.concatenate(
+            [solo_srv.step({"s": x[i:i + 100]})["s"]
+             for i in range(0, len(x), 100)])
+        np.testing.assert_array_equal(np.concatenate(got), solo)
