@@ -38,6 +38,22 @@ def parse_args():
     return parser.parse_args()
 
 
+def _die_with_parent():
+    """preexec_fn: deliver SIGKILL to the rank when the launcher dies (even
+    by SIGKILL, e.g. a test-harness timeout). Without it a killed launcher
+    leaves ranks blocked forever in a collective whose peer is gone — and
+    the Trainer's SIGTERM preemption handler makes them unkillable by a
+    plain terminate (it waits to finish a step that can never finish)."""
+    try:
+        import ctypes
+        import signal
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.prctl(1, signal.SIGKILL)  # PR_SET_PDEATHSIG = 1
+    except Exception:
+        pass
+
+
 def main():
     args = parse_args()
     world_size = args.nnodes * args.nproc_per_node
@@ -56,7 +72,9 @@ def main():
         else:
             cmd = [sys.executable, "-u", args.training_script,
                    *args.training_script_args]
-        processes.append(subprocess.Popen(cmd, env=env))
+        processes.append(subprocess.Popen(
+            cmd, env=env,
+            preexec_fn=_die_with_parent if sys.platform == "linux" else None))
 
     # poll ALL ranks; on the first failure terminate the survivors instead of
     # leaving them blocked in a collective forever (torch launcher parity)

@@ -182,7 +182,12 @@ class Trainer:
                 self._profiling = False
                 logging.info(f"profiler trace stopped @ step {self.steps}")
         batch = shard_batch(_step_batch(batch), self.mesh)
-        self.rng, step_rng = jax.random.split(self.rng)
+        # resume-stable stream: the step rng is a pure function of the step
+        # index, so a --resume continuation consumes EXACTLY the rngs the
+        # uninterrupted run would have (asserted across processes by
+        # tests/test_multihost_training.py::test_two_process_ckpt_coordination)
+        step_rng = jax.random.fold_in(jax.random.fold_in(self.rng, 0),
+                                      self.steps)
         lr_g = jnp.float32(self.schedulers["generator"].lr)
         lr_d = jnp.float32(self.schedulers["discriminator"].lr)
         self.state, metrics = self.train_step(self.state, batch, step_rng,
@@ -279,7 +284,11 @@ class Trainer:
         first_batch = None
         for batch in self.data_loader.get("dev", []):
             sharded = shard_batch(_step_batch(batch), self.mesh)
-            self.rng, eval_rng = jax.random.split(self.rng)
+            # (steps, eval-batch) keyed: deterministic under resume; the
+            # fold_in(rng, 1) base keeps eval streams disjoint from train's
+            # fold_in(rng, 0) family
+            eval_rng = jax.random.fold_in(jax.random.fold_in(
+                jax.random.fold_in(self.rng, 1), self.steps), count)
             metrics, y_ = self.eval_step(self.state, sharded, eval_rng)
             for k, v in metrics.items():
                 totals[k] = totals[k] + v

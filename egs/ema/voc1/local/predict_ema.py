@@ -11,6 +11,13 @@ environments without cached weights the MFCC path still works. Exp-id
 conventions follow the reference: '_h2' -> hubert features; 'hprc' prefix ->
 interp factor 2 / hop 160, else 4 / 80.
 
+NOTE on SSL parity: in this zero-egress environment the HuBERT path is
+verified STRUCTURALLY (tiny random-init transformers models driven end to
+end, plus exact interpolation parity vs torch — tests/test_ssl_inversion.py);
+numerical equivalence with the reference's s3prl hubert_large_ll60k feature
+stack (reference predict_ema.py:25-30) needs the pretrained weights and is
+not certified here.
+
 Usage: python local/predict_ema.py <exp_id or exp_dir> <input_wav_dir> <output_dir>
 """
 
