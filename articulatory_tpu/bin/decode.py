@@ -54,6 +54,12 @@ def main():
                              "per-out-channel; folds weight norm first). "
                              "Quality-gated by tools/int8_quality_ab.sh — "
                              "see docs/DESIGN.md §7 for the verdict.")
+    parser.add_argument("--bf16-weights", default=False, action="store_true",
+                        help="store weights as bfloat16 (folds weight norm "
+                             "first; compute dtypes unchanged). Halves the "
+                             "weight-bandwidth-bound single-stream scan's "
+                             "HBM weight traffic. Quality-gated by "
+                             "tools/bf16_weights_quality_ab.sh.")
     parser.add_argument("--ar-scan", default=False, action="store_true",
                         help="run chunked-AR decode as ONE compiled "
                              "lax.scan dispatch per utterance instead of a "
@@ -167,6 +173,11 @@ def main():
     if args.int8_weights and not model.quantized:
         model.quantize_int8()
         logging.info("Quantized weights to int8 (per-out-channel symmetric).")
+    if args.bf16_weights:
+        if args.int8_weights:
+            parser.error("--bf16-weights and --int8-weights are exclusive")
+        model.to_bf16_weights()
+        logging.info("Stored weights as bfloat16 (weight norm folded).")
 
     os.makedirs(args.outdir, exist_ok=True)
     use_ar = config["generator_params"].get("use_ar", False)

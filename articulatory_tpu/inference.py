@@ -91,6 +91,31 @@ class LoadedModel:
         for cached in ("_jit_forward", "_jit_forward_sp", "_ar_scan_cache"):
             self.__dict__.pop(cached, None)
 
+    def to_bf16_weights(self) -> None:
+        """Fold weight norm and STORE all float params as bfloat16.
+
+        Serve-time weight residency (VERDICT r4 #8): HBM holds half the
+        weight bytes. The decode-side roofline (benchmarks/
+        decode_breakdown.py, DESIGN.md §7) shows where this matters:
+        the SINGLE-STREAM scan re-reads the full parameter set every chunk
+        and runs weight-bandwidth-bound (~69 % of HBM peak), so halving
+        weight traffic attacks its critical path; the BATCHED knee is
+        activation-bound and expects neutrality (like int8 was). Under the
+        default hybrid-precision compute the bf16 interior layers already
+        cast weights to bf16 per dispatch, so for them bf16 STORAGE is
+        numerically identical; only the f32 AR-path layers see the
+        storage rounding (one bf16 round-trip of their weights — far
+        smaller than int8's 2^-7 channel-max rounding that failed the
+        budget). Quality gate: tools/bf16_weights_quality_ab.sh.
+        """
+        self.remove_weight_norm()
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            self.params)
+        for cached in ("_jit_forward", "_jit_forward_sp", "_ar_scan_cache"):
+            self.__dict__.pop(cached, None)
+
     def _materialize(self, params):
         """Dequantize int8 weight leaves (traced; no-op when unquantized)."""
         if not self.quantized:

@@ -168,6 +168,12 @@ class Conv1d(nn.Module):
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
             b = b.astype(self.dtype) if b is not None else None
+        elif w.dtype != x.dtype:
+            # bf16-STORED weights under an f32 compute layer (serve-time
+            # weight residency, LoadedModel.to_bf16_weights): upcast fuses
+            # into the conv read, so HBM traffic stays at the bf16 bytes
+            w = w.astype(x.dtype)
+            b = b.astype(x.dtype) if b is not None else None
         return conv_ops.conv1d(x, w, b, stride=self.stride, padding=padding,
                                dilation=self.dilation, groups=self.groups)
 
@@ -208,6 +214,12 @@ class ConvTranspose1d(nn.Module):
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
             b = b.astype(self.dtype) if b is not None else None
+        elif w.dtype != x.dtype:
+            # bf16-STORED weights under an f32 compute layer (serve-time
+            # weight residency, LoadedModel.to_bf16_weights): upcast fuses
+            # into the conv read, so HBM traffic stays at the bf16 bytes
+            w = w.astype(x.dtype)
+            b = b.astype(x.dtype) if b is not None else None
         return conv_ops.conv_transpose1d(
             x, w, b, stride=self.stride, padding=self.padding,
             output_padding=self.output_padding, dilation=self.dilation)
@@ -248,6 +260,12 @@ class Conv2d(nn.Module):
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
             b = b.astype(self.dtype) if b is not None else None
+        elif w.dtype != x.dtype:
+            # bf16-STORED weights under an f32 compute layer (serve-time
+            # weight residency, LoadedModel.to_bf16_weights): upcast fuses
+            # into the conv read, so HBM traffic stays at the bf16 bytes
+            w = w.astype(x.dtype)
+            b = b.astype(x.dtype) if b is not None else None
         return conv_ops.conv2d(x, w, b, stride=self.stride, padding=self.padding,
                                dilation=self.dilation, groups=self.groups)
 

@@ -73,6 +73,11 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--scan-seconds", type=float, default=30.0,
                    help="utterance length for the single-stream scan stage")
+    p.add_argument("--bf16-weights", action="store_true",
+                   help="ALSO run the stages with bf16-stored weights "
+                        "(LoadedModel.to_bf16_weights): the single-stream "
+                        "scan is weight-bandwidth-bound, so this is the "
+                        "direct A/B for the residency lever")
     args = p.parse_args()
 
     import jax
@@ -128,33 +133,44 @@ def main():
     # ---- single-stream compiled scan (bin/decode --ar-scan) ----
     from articulatory_tpu.inference import LoadedModel, _get_scan_fn
 
-    model = _build(False)
     n_chunks = int(args.scan_seconds * 200) // CHUNK_FRAMES
-    cin = jnp.asarray(rng.standard_normal((1, CHUNK_FRAMES, 13)), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), cin,
-                        ar=jnp.zeros((1, AR_INPUT, 1)))["params"]
-    config = {"dataset_mode": "a2w", "batch_max_steps": CHUNK_SAMPLES * 1,
-              "hop_size": HOP,
-              "generator_params": {"out_channels": 1, "use_ar": True,
-                                   "ar_input": AR_INPUT}}
-    loaded = LoadedModel(model=model, params=params, config=config,
-                         mutables={})
-    run = _get_scan_fn(loaded, AR_INPUT, 1, True)
-    chunks = jnp.asarray(
-        rng.standard_normal((n_chunks, CHUNK_FRAMES, 13)), jnp.float32)
-    compiled = jax.jit(lambda p, c: run(p, c)).lower(params, chunks).compile()
-    flops, bytes_ = _cost(compiled)
-    float(jnp.sum(compiled(params, chunks)))  # warm + sync
-    iters = max(3, args.iters // 4)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(params, chunks)
-    float(jnp.sum(out))
-    t = (time.perf_counter() - start) / iters
-    report("single_scan", t, flops, bytes_, n_chunks * CHUNK_SAMPLES,
-           False)
-    results["single_scan"]["rtf"] = round(
-        t / (n_chunks * CHUNK_SAMPLES / 16000), 5)
+    variants = [("single_scan", False)]
+    if args.bf16_weights:
+        variants.append(("single_scan_bf16w", True))
+    for name, bf16w in variants:
+        model = _build(False)
+        cin = jnp.asarray(
+            rng.standard_normal((1, CHUNK_FRAMES, 13)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), cin,
+                            ar=jnp.zeros((1, AR_INPUT, 1)))["params"]
+        config = {"dataset_mode": "a2w",
+                  "batch_max_steps": CHUNK_SAMPLES * 1, "hop_size": HOP,
+                  "generator_params": {"out_channels": 1, "use_ar": True,
+                                       "ar_input": AR_INPUT}}
+        loaded = LoadedModel(model=model, params=params, config=config,
+                             mutables={})
+        if bf16w:
+            loaded.to_bf16_weights()
+        run = _get_scan_fn(loaded, AR_INPUT, 1, True)
+        chunks = jnp.asarray(
+            rng.standard_normal((n_chunks, CHUNK_FRAMES, 13)), jnp.float32)
+        compiled = jax.jit(lambda p, c: run(p, c)).lower(
+            loaded.params, chunks).compile()
+        flops, bytes_ = _cost(compiled)
+        # XLA cost_analysis counts a while/scan BODY once, not x trip count
+        # (verified: the reported per-chunk flops are exactly n_chunks-fold
+        # under the batched per-lane figure) — scale to the real dispatch
+        flops, bytes_ = flops * n_chunks, bytes_ * n_chunks
+        float(jnp.sum(compiled(loaded.params, chunks)))  # warm + sync
+        iters = max(3, args.iters // 4)
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = compiled(loaded.params, chunks)
+        float(jnp.sum(out))
+        t = (time.perf_counter() - start) / iters
+        report(name, t, flops, bytes_, n_chunks * CHUNK_SAMPLES, False)
+        results[name]["rtf"] = round(
+            t / (n_chunks * CHUNK_SAMPLES / 16000), 5)
 
     print(json.dumps(results, indent=1))
 
