@@ -18,6 +18,7 @@ import numpy as np
 from joblib import load
 
 from articulatory_tpu.utils.io import read_wav
+from articulatory_tpu.utils.platform import honor_jax_platforms
 
 LAYER_NUM = 9
 
@@ -43,6 +44,8 @@ def wavlm_features(audio: np.ndarray, layer_num: int = LAYER_NUM) -> np.ndarray:
 
 
 def main():
+    # re-apply JAX_PLATFORMS after any sitecustomize jax import
+    honor_jax_platforms()
     path, reg_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
     audio, sampling_rate = read_wav(path)
     assert sampling_rate == 16000

@@ -34,6 +34,7 @@ from tqdm import tqdm
 from articulatory_tpu.inference import ar_loop, load_model
 from articulatory_tpu.ops.mfcc import mfcc_np
 from articulatory_tpu.utils.io import read_wav
+from articulatory_tpu.utils.platform import honor_jax_platforms
 
 
 def wav2mfcc(wav, sr, num_mfcc=13, n_mels=40, n_fft=320, hop_length=160):
@@ -79,6 +80,9 @@ def hubert_features(audio: np.ndarray, interp_factor: int) -> np.ndarray:
 
 
 def main():
+    # a sitecustomize may have frozen JAX_PLATFORMS at interpreter startup;
+    # re-apply so JAX_PLATFORMS=cpu works on TPU hosts (see utils/platform)
+    honor_jax_platforms()
     exp_id = sys.argv[1]
     wav_d = sys.argv[2]
     output_feats_d = sys.argv[3]

@@ -23,9 +23,12 @@ from tqdm import tqdm
 
 from articulatory_tpu.inference import ar_loop, load_model
 from articulatory_tpu.utils.io import load_scp, write_wav
+from articulatory_tpu.utils.platform import honor_jax_platforms
 
 
 def main():
+    # re-apply JAX_PLATFORMS after any sitecustomize jax import
+    honor_jax_platforms()
     parser = argparse.ArgumentParser(description="Predict wav from features.")
     parser.add_argument("--feats-scp", "--scp", type=str, required=True)
     parser.add_argument("--outdir", type=str, required=True)
