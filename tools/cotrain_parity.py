@@ -175,8 +175,12 @@ def run_torch(batches, eval_batches, a, perturb: bool = False) -> dict:
         return tot / len(eval_batches)
 
     steps = 0
+    t_start = time.time()
     logs, evals = [], []
     for x, y, ar in batches:
+        if steps and steps % 50 == 0:
+            print(f"[cotrain]   torch step {steps}/{len(batches)} "
+                  f"({time.time() - t_start:.0f}s)", flush=True)
         xt = torch.from_numpy(np.transpose(x, (0, 2, 1)).copy())
         yt = torch.from_numpy(np.transpose(y, (0, 2, 1)).copy())
         art = torch.from_numpy(np.transpose(ar, (0, 2, 1)).copy())
@@ -311,8 +315,12 @@ def run_ours(init_sd_g, init_sd_d, batches, eval_batches, a) -> dict:
                               for x, y, ar in jeval]))
 
     steps = 0
+    t_start = time.time()
     logs, evals = [], []
     for i, (x, y, ar) in enumerate(batches):
+        if i and i % 50 == 0:
+            print(f"[cotrain]   ours step {i}/{len(batches)} "
+                  f"({time.time() - t_start:.0f}s)", flush=True)
         batch = {"x": (jnp.asarray(x),), "y": jnp.asarray(y),
                  "ar": jnp.asarray(ar)}
         lr_dt = jnp.float64 if a.x64 else jnp.float32
