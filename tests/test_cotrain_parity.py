@@ -86,3 +86,67 @@ def test_cotrain_noise_cone_artifact_is_green():
     # we track the reference's trajectory at least as well as the reference
     # tracks itself across 1 ulp (measured: 0.42% vs 0.77%)
     assert c["eval_mel_max_rel"] <= c["self_eval_mel_max_rel"] * 1.5
+
+
+def test_cotrain_512_artifact_is_green():
+    """The round-5 flagship-width artifact: exact e2w_hifigan_car generator
+    geometry (channels 512, full 3/7/11 MRF, ar 512/256/128), f64
+    co-training with a 1-ulp control at factor 1.0. The semantic claim is
+    the pre-disc per-step exactness (~1e-9); the decode-MCD gate rides the
+    measured exchange-rate cone (the raw f64 1-ulp cone is below any
+    cross-framework op-reordering floor — see --cone-exchange-rate)."""
+    path = os.path.join(REPO, "tools", "artifacts", "cotrain_parity_512.json")
+    assert os.path.exists(path), "flagship-width co-training artifact missing"
+    report = json.load(open(path))
+    assert report["ok"], report["failures"]
+    cfg, c = report["config"], report["checks"]
+    assert report["gen_cfg"]["channels"] == 512
+    assert report["gen_cfg"]["resblock_kernel_sizes"] == [3, 7, 11]
+    assert report["gen_cfg"]["ar_input"] == 512
+    assert cfg["x64"] and cfg["self_drift"] and cfg["self_mcd_factor"] == 1.0
+    assert 0 < cfg["disc_start"] < cfg["steps"]
+    # flagship-width semantic exactness: per-step tracking at the 1e-9
+    # scale before the adversarial phase turns on
+    assert c["pre_disc_mel_max_rel"] < 1e-8
+    # eval trajectory inside the stated envelope
+    assert c["eval_mel_max_rel"] <= cfg["envelope_eval"]
+    # decode MCD inside the exchange-rate-transferred control cone
+    assert c["worst_mcd_ours_vs_ref"] <= c["cone_exchange_bound"]
+    # trained-model quality: ours is at least as close to ground truth
+    assert all(d <= 0.0 for d in c["gt_mcd_delta_per_utt"])
+
+
+def test_cone_exchange_rate_gate_mechanics():
+    """check() with --cone-exchange-rate: the decode bound scales the
+    1-ulp cone by the measured eval-gap ratio; without the flag the raw
+    cone applies."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import argparse
+
+    from cotrain_parity import check
+
+    def mk_report():
+        return {
+            "torch": {"logs": [], "evals": [[10, 4.0], [20, 3.0]]},
+            "ours": {"logs": [], "evals": [[10, 4.0], [20, 3.003]]},
+            "self_drift": {"logs": [],
+                           "evals": [[10, 4.0], [20, 3.000003]]},
+            "decode": [{"mcd_ours_vs_ref": 0.5,
+                        "mcd_ref_vs_refpert": 1e-3,
+                        "mcd_ours_vs_gt": 10.0, "mcd_ref_vs_gt": 10.1}],
+            "checks": {},
+        }
+
+    base = dict(disc_start=0, envelope_pre=1.0, envelope_eval=1.0,
+                learn_factor=2.0, mcd_budget=0.1, self_mcd_factor=1.0)
+    # without the flag: 0.5 dB >> max(0.1, 1e-3) -> fails the cone check
+    a = argparse.Namespace(**base, cone_exchange_rate=False)
+    fails = check(mk_report(), a)
+    assert any("noise cone" in f for f in fails), fails
+    # with the flag: exchange = 1e-3/1e-6 = 1000 -> bound 1.0 dB -> passes
+    a = argparse.Namespace(**base, cone_exchange_rate=True)
+    report = mk_report()
+    fails = check(report, a)
+    assert not any("noise cone" in f for f in fails), fails
+    assert report["checks"]["cone_exchange_bound"] >= 0.5
+    assert report["checks"]["gt_mcd_delta_per_utt"] == [10.0 - 10.1]
