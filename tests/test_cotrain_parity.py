@@ -150,3 +150,21 @@ def test_cone_exchange_rate_gate_mechanics():
     assert not any("noise cone" in f for f in fails), fails
     assert report["checks"]["cone_exchange_bound"] >= 0.5
     assert report["checks"]["gt_mcd_delta_per_utt"] == [10.0 - 10.1]
+
+
+def test_cotrain_512_f32_artifact_is_green():
+    """Round-5 bonus: the chaotic-regime (f32, flagship lr 1e-4) run at
+    FULL flagship width. Floors are matched at f32 (ulp ~ cross-framework
+    rounding), so the RAW 1-ulp cone is the honest yardstick here."""
+    path = os.path.join(REPO, "tools", "artifacts",
+                        "cotrain_parity_512_f32.json")
+    assert os.path.exists(path), "f32 flagship-width artifact missing"
+    report = json.load(open(path))
+    assert report["ok"], report["failures"]
+    c, cfg = report["checks"], report["config"]
+    assert report["gen_cfg"]["channels"] == 512 and not cfg["x64"]
+    # near-raw-cone containment (round-4 width-128 run was 1.11x)
+    assert c["worst_mcd_ours_vs_ref"] <= 1.1 * c["worst_mcd_ref_vs_refpert"]
+    # we track the reference's trajectory better than it tracks itself
+    assert c["eval_mel_max_rel"] <= c["self_eval_mel_max_rel"]
+    assert all(d <= 0.0 for d in c["gt_mcd_delta_per_utt"])
