@@ -284,3 +284,36 @@ def test_server_w2a_churn_matches_solo(rng):
             [solo_srv.step({"s": x[i:i + 100]})["s"]
              for i in range(0, len(x), 100)])
         np.testing.assert_array_equal(np.concatenate(got), solo)
+
+
+def test_server_shift_register_churn_matches_solo(rng):
+    """Server lanes in the shift-register regime (ar_input >
+    batch_max_steps): the masked carry update must slide the multi-chunk
+    window per lane, under churn, identically to a solo serve."""
+    from articulatory_tpu.streaming import StreamingServer
+
+    model, config = _hifigan_a2w(rng, ar_input=2000)
+    xa = rng.standard_normal((50, 13)).astype(np.float32)
+    xb = rng.standard_normal((30, 13)).astype(np.float32)
+    server = StreamingServer(model, config, max_lanes=2)
+    assert server.syn.shift_register
+    server.join("a")
+    got_a = [server.step({"a": xa[:10]})["a"]]
+    server.join("b")
+    for i in range(1, 5):
+        subs = {"a": xa[i * 10:(i + 1) * 10]}
+        if (i - 1) * 10 < len(xb):
+            subs["b"] = xb[(i - 1) * 10:i * 10]
+        outs = server.step(subs)
+        got_a.append(outs["a"])
+    for cid, x, got in (("a", xa, got_a),):
+        solo = StreamingServer(model, config, max_lanes=2)
+        solo.join("s")
+        want = np.concatenate(
+            [solo.step({"s": x[i:i + 10]})["s"]
+             for i in range(0, len(x), 10)])
+        np.testing.assert_array_equal(np.concatenate(got), want)
+    # and the offline oracle within float tolerance
+    offline = np.asarray(ar_loop(model, xa, config))
+    np.testing.assert_allclose(np.concatenate(got_a)[:, 0], offline,
+                               rtol=1e-4, atol=1e-5)
