@@ -174,8 +174,12 @@ def main():
         model.quantize_int8()
         logging.info("Quantized weights to int8 (per-out-channel symmetric).")
     if args.bf16_weights:
-        if args.int8_weights:
-            parser.error("--bf16-weights and --int8-weights are exclusive")
+        if args.int8_weights or model.quantized:
+            # model.quantized also covers checkpoints auto-quantized by a
+            # `weight_quant: int8` config key — casting their dequant
+            # scale arrays to bf16 would silently stack extra rounding
+            parser.error("--bf16-weights is exclusive with int8 weights "
+                         "(flag or config weight_quant: int8)")
         model.to_bf16_weights()
         logging.info("Stored weights as bfloat16 (weight norm folded).")
 

@@ -108,6 +108,11 @@ class LoadedModel:
         smaller than int8's 2^-7 channel-max rounding that failed the
         budget). Quality gate: tools/bf16_weights_quality_ab.sh.
         """
+        if self.quantized:
+            raise ValueError(
+                "to_bf16_weights on an int8-quantized model would cast the "
+                "dequantization scales to bf16 (silent extra rounding); "
+                "pick one weight-compression scheme")
         self.remove_weight_norm()
         self.params = jax.tree.map(
             lambda x: jnp.asarray(x, jnp.bfloat16)
@@ -476,7 +481,8 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict,
         chunks = jnp.asarray(
             batch.reshape(b, n_chunks, in_chunk_len, feat_dim)
             .swapaxes(0, 1))  # (n_chunks, B, T, C)
-        run = _get_scan_fn(model, past_out_len, out_channels, last_window)
+        run = _get_scan_fn(model, past_out_len, out_channels, last_window,
+                           w2a=w2a)
         wav = np.asarray(run(model.params, chunks))  # (B, n*T_out, C)
     else:
         prev = jnp.zeros((b, past_out_len, out_channels), jnp.float32)
@@ -506,7 +512,7 @@ def ar_loop_batched(model: LoadedModel, xs: list[np.ndarray], config: dict,
 
 
 def _get_scan_fn(model, past_out_len: int, out_channels: int,
-                 last_window: bool):
+                 last_window: bool, w2a: bool = False):
     """One jitted scan body per (model, carry signature).
 
     Cached on the model object so repeated calls (decode CLI over a corpus,
@@ -518,12 +524,15 @@ def _get_scan_fn(model, past_out_len: int, out_channels: int,
     the reference's condition ``past_out_len <= batch_max_steps``
     (decode.py:77 — note the comparison is against the SAMPLE chunk length
     even in the w2a direction, where ``past_out_len`` counts frames).
+    ``w2a`` picks the shift-register slide amount: input rows in the w2a
+    direction, output length otherwise (reference decode.py:79-81 —
+    ``len(cin) if w2a else out.shape[1]``, same rule as the host loops).
     """
     try:
         cache = model.__dict__.setdefault("_ar_scan_cache", {})
     except AttributeError:  # exotic shims without __dict__
         cache = {}
-    key = (past_out_len, out_channels, last_window)
+    key = (past_out_len, out_channels, last_window, w2a)
     if key in cache:
         return cache[key]
 
@@ -552,8 +561,10 @@ def _get_scan_fn(model, past_out_len: int, out_channels: int,
             else:
                 # shift register (reference decode.py:79-81): the AR window
                 # spans several chunks — slide the old window left by one
-                # chunk's output and append the new chunk
-                new_prev = jnp.concatenate([prev[:, out.shape[1]:, :], out],
+                # chunk (input rows in w2a, output length in a2w, matching
+                # the host loops) and append the new chunk's output
+                shift = cin.shape[-2] if w2a else out.shape[1]
+                new_prev = jnp.concatenate([prev[:, shift:, :], out],
                                            axis=1)
             return new_prev, out if batched else out[0]
 
@@ -628,7 +639,7 @@ def ar_loop_scan(model: LoadedModel, x: np.ndarray, config: dict,
             chunks = jnp.asarray(xp.reshape(n_chunks, in_chunk_len,
                                             x.shape[1]))
             run = _get_scan_fn(model, past_out_len, out_channels,
-                               last_window)
+                               last_window, w2a=True)
             scanned = np.asarray(run(model.params, chunks))
             out = scanned[: full * (scanned.shape[0] // n_chunks)]
         if rem:

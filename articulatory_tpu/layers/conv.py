@@ -123,6 +123,22 @@ def _weight_norm_param(module: nn.Module, shape: tuple[int, ...],
     return g * v / norm
 
 
+def _match_compute_dtype(x, w, b, dtype):
+    """Cast (x, w, b) for the conv call. With an explicit compute ``dtype``
+    everything is cast to it; with dtype None, bf16-STORED weights under an
+    f32 compute layer (serve-time weight residency,
+    ``LoadedModel.to_bf16_weights``) are upcast to the input dtype — the
+    convert fuses into the conv read, so HBM traffic stays at the stored
+    bytes. One shared rule for every conv layer."""
+    if dtype is not None:
+        return (x.astype(dtype), w.astype(dtype),
+                b.astype(dtype) if b is not None else None)
+    if w.dtype != x.dtype:
+        return (x, w.astype(x.dtype),
+                b.astype(x.dtype) if b is not None else None)
+    return x, w, b
+
+
 class Conv1d(nn.Module):
     """PyTorch-semantics Conv1d in NLC layout with optional weight norm."""
 
@@ -164,16 +180,7 @@ class Conv1d(nn.Module):
             else:
                 binit = self.bias_init
             b = self.param("b", binit, (self.features,))
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            w = w.astype(self.dtype)
-            b = b.astype(self.dtype) if b is not None else None
-        elif w.dtype != x.dtype:
-            # bf16-STORED weights under an f32 compute layer (serve-time
-            # weight residency, LoadedModel.to_bf16_weights): upcast fuses
-            # into the conv read, so HBM traffic stays at the bf16 bytes
-            w = w.astype(x.dtype)
-            b = b.astype(x.dtype) if b is not None else None
+        x, w, b = _match_compute_dtype(x, w, b, self.dtype)
         return conv_ops.conv1d(x, w, b, stride=self.stride, padding=padding,
                                dilation=self.dilation, groups=self.groups)
 
@@ -210,16 +217,7 @@ class ConvTranspose1d(nn.Module):
         if self.use_bias:
             fan_in = self.kernel_size * self.features
             b = self.param("b", torch_bias_init(fan_in), (self.features,))
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            w = w.astype(self.dtype)
-            b = b.astype(self.dtype) if b is not None else None
-        elif w.dtype != x.dtype:
-            # bf16-STORED weights under an f32 compute layer (serve-time
-            # weight residency, LoadedModel.to_bf16_weights): upcast fuses
-            # into the conv read, so HBM traffic stays at the bf16 bytes
-            w = w.astype(x.dtype)
-            b = b.astype(x.dtype) if b is not None else None
+        x, w, b = _match_compute_dtype(x, w, b, self.dtype)
         return conv_ops.conv_transpose1d(
             x, w, b, stride=self.stride, padding=self.padding,
             output_padding=self.output_padding, dilation=self.dilation)
@@ -256,16 +254,7 @@ class Conv2d(nn.Module):
         if self.use_bias:
             fan_in = int(np.prod(shape[:3]))
             b = self.param("b", torch_bias_init(fan_in), (self.features,))
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            w = w.astype(self.dtype)
-            b = b.astype(self.dtype) if b is not None else None
-        elif w.dtype != x.dtype:
-            # bf16-STORED weights under an f32 compute layer (serve-time
-            # weight residency, LoadedModel.to_bf16_weights): upcast fuses
-            # into the conv read, so HBM traffic stays at the bf16 bytes
-            w = w.astype(x.dtype)
-            b = b.astype(x.dtype) if b is not None else None
+        x, w, b = _match_compute_dtype(x, w, b, self.dtype)
         return conv_ops.conv2d(x, w, b, stride=self.stride, padding=self.padding,
                                dilation=self.dilation, groups=self.groups)
 

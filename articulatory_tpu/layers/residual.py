@@ -111,16 +111,9 @@ class _PackedSameConv1d(nn.Module):
         if self.use_bias:
             b = self.param("b", torch_bias_init(shape[0] * shape[1]),
                            (self.features,))
-        if self.dtype is not None:
-            xp = xp.astype(self.dtype)
-            w = w.astype(self.dtype)
-            b = b.astype(self.dtype) if b is not None else None
-        elif w.dtype != xp.dtype:
-            # bf16-STORED weights under an f32 compute layer (serve-time
-            # weight residency): upcast fuses into the conv read, like
-            # layers/conv.py
-            w = w.astype(xp.dtype)
-            b = b.astype(xp.dtype) if b is not None else None
+        from articulatory_tpu.layers.conv import _match_compute_dtype
+
+        xp, w, b = _match_compute_dtype(xp, w, b, self.dtype)
         wp, lo, hi = pack_kernel_jnp(w, self.dilation, self.time_pack)
         return packed_conv1d(xp, wp, lo, hi, b, p=self.time_pack)
 

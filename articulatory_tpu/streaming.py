@@ -78,22 +78,34 @@ class StreamingSynthesizer:
 
     @functools.cached_property
     def _fwd(self):
+        """Jitted chunk step: ``fwd(params, cin, prev[, mask])``.
+
+        ``mask`` (a (lanes,) bool array, or None — a static trace-time
+        choice) keeps unmasked lanes' AR carries unchanged; the
+        StreamingServer's stalled/idle lanes ride the same body."""
         model = self.model
         carry_len = self.carry_len  # must match self._prev's reset shape
         shift_register = self.shift_register
+        w2a = self.w2a
 
         @jax.jit
-        def fwd(params, cin, prev):
+        def fwd(params, cin, prev, mask=None):
             params = model._materialize(params)
             out = model.model.apply({"params": params, **model.mutables},
                                     cin, ar=prev)
             if isinstance(out, tuple):
                 out = out[0]
             if shift_register:
-                new_prev = jnp.concatenate([prev[:, out.shape[1]:, :], out],
+                # slide by input rows in w2a, output length in a2w — the
+                # reference's rule (decode.py:79-81), same as the ar_loop /
+                # _get_scan_fn paths
+                shift = cin.shape[1] if w2a else out.shape[1]
+                new_prev = jnp.concatenate([prev[:, shift:, :], out],
                                            axis=1)
             else:
                 new_prev = out[:, -carry_len:, :]
+            if mask is not None:
+                new_prev = jnp.where(mask[:, None, None], new_prev, prev)
             return out, new_prev
 
         return fwd
@@ -228,30 +240,6 @@ class StreamingServer:
 
     # -- serving -----------------------------------------------------------
 
-    @functools.cached_property
-    def _fwd(self):
-        syn = self.syn
-        model = syn.model
-        carry_len, shift_register = syn.carry_len, syn.shift_register
-
-        @jax.jit
-        def fwd(params, cin, prev, mask):
-            params = model._materialize(params)
-            out = model.model.apply({"params": params, **model.mutables},
-                                    cin, ar=prev)
-            if isinstance(out, tuple):
-                out = out[0]
-            if shift_register:
-                upd = jnp.concatenate([prev[:, out.shape[1]:, :], out],
-                                      axis=1)
-            else:
-                upd = out[:, -carry_len:, :]
-            # stalled / idle lanes keep their carry — masked in-dispatch
-            new_prev = jnp.where(mask[:, None, None], upd, prev)
-            return out, new_prev
-
-        return fwd
-
     def step(self, chunks: dict) -> dict:
         """One serving round: ``{client_id: (t, C) feature chunk}`` ->
         ``{client_id: output array}``.
@@ -268,23 +256,29 @@ class StreamingServer:
         unknown = [c for c in chunks if c not in self._lane_of]
         if unknown:
             raise KeyError(f"clients not joined: {unknown!r}")
-        feat_dim = np.asarray(next(iter(chunks.values()))).shape[-1]
-        batch = np.zeros((self.max_lanes, syn.chunk_frames, feat_dim),
-                         np.float32)
-        mask = np.zeros((self.max_lanes,), bool)
-        lens = {}
+        # normalize BEFORE reading feat_dim: a 1-D chunk is (t,) -> (t, 1)
+        norm = {}
         for cid, chunk in chunks.items():
             chunk = np.asarray(chunk, np.float32)
             if chunk.ndim == 1:
                 chunk = chunk[:, None]
             t = len(chunk)
-            assert 0 < t <= syn.chunk_frames, \
-                f"chunk must be 1..{syn.chunk_frames} frames, got {t}"
+            if not 0 < t <= syn.chunk_frames:
+                raise ValueError(
+                    f"chunk for {cid!r} must be 1..{syn.chunk_frames} "
+                    f"frames, got {t}")
+            norm[cid] = chunk
+        feat_dim = next(iter(norm.values())).shape[-1]
+        batch = np.zeros((self.max_lanes, syn.chunk_frames, feat_dim),
+                         np.float32)
+        mask = np.zeros((self.max_lanes,), bool)
+        lens = {}
+        for cid, chunk in norm.items():
             lane = self._lane_of[cid]
-            batch[lane, :t] = chunk
+            batch[lane, : len(chunk)] = chunk
             mask[lane] = True
-            lens[cid] = t
-        out, self.syn._prev = self._fwd(
+            lens[cid] = len(chunk)
+        out, self.syn._prev = syn._fwd(
             syn.model.params, jnp.asarray(batch), self.syn._prev,
             jnp.asarray(mask))
         # full-batch readback + host indexing: a device gather of only the

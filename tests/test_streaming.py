@@ -299,6 +299,7 @@ def test_server_shift_register_churn_matches_solo(rng):
     assert server.syn.shift_register
     server.join("a")
     got_a = [server.step({"a": xa[:10]})["a"]]
+    got_b = []
     server.join("b")
     for i in range(1, 5):
         subs = {"a": xa[i * 10:(i + 1) * 10]}
@@ -306,7 +307,9 @@ def test_server_shift_register_churn_matches_solo(rng):
             subs["b"] = xb[(i - 1) * 10:i * 10]
         outs = server.step(subs)
         got_a.append(outs["a"])
-    for cid, x, got in (("a", xa, got_a),):
+        if "b" in outs:
+            got_b.append(outs["b"])
+    for cid, x, got in (("a", xa, got_a), ("b", xb, got_b)):
         solo = StreamingServer(model, config, max_lanes=2)
         solo.join("s")
         want = np.concatenate(
@@ -317,3 +320,35 @@ def test_server_shift_register_churn_matches_solo(rng):
     offline = np.asarray(ar_loop(model, xa, config))
     np.testing.assert_allclose(np.concatenate(got_a)[:, 0], offline,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_server_1d_chunks_match_2d(rng):
+    """Raw 1-D chunks (the w2a serving input form) must normalize to
+    (t, 1) BEFORE the lane batch's feature dim is derived — a 1-D chunk
+    used to set feat_dim to the chunk LENGTH (code-review r5 finding)."""
+    from articulatory_tpu.models import BiGRU
+    from articulatory_tpu.streaming import StreamingServer
+
+    out_ch, ar_input = 4, 16
+    model_def = BiGRU(in_channels=1 + 8, hidden_size=8, out_channels=out_ch,
+                      use_ar=True, ar_input=ar_input, ar_hidden=8,
+                      ar_output=8)
+    v = model_def.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 1)),
+                       ar=jnp.zeros((1, ar_input // out_ch, out_ch)))
+    config = {"dataset_mode": "w2a", "batch_max_steps": 100, "hop_size": 80,
+              "generator_params": {"out_channels": out_ch, "use_ar": True,
+                                   "ar_input": ar_input}}
+    model = LoadedModel(model=model_def, params=v["params"], config=config,
+                        mutables={k: x for k, x in v.items()
+                                  if k != "params"})
+    wav = rng.standard_normal(200).astype(np.float32)
+    srv1 = StreamingServer(model, config, max_lanes=2)
+    srv1.join("a")
+    one_d = np.concatenate([srv1.step({"a": wav[i:i + 100]})["a"]
+                            for i in (0, 100)])
+    srv2 = StreamingServer(model, config, max_lanes=2)
+    srv2.join("a")
+    two_d = np.concatenate([srv2.step({"a": wav[i:i + 100, None]})["a"]
+                            for i in (0, 100)])
+    np.testing.assert_array_equal(one_d, two_d)
+    assert one_d.shape == (200 * 1, out_ch) or one_d.shape[1] == out_ch
